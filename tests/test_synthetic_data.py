@@ -1,0 +1,53 @@
+"""Synthetic generator + DBP15K reader tests."""
+
+import numpy as np
+
+from tpugraph.data.synthetic import synthetic_align_task
+
+
+def test_synthetic_deterministic():
+    t1 = synthetic_align_task(seed=7, n_ent=300, n_triples=900)
+    t2 = synthetic_align_task(seed=7, n_ent=300, n_triples=900)
+    np.testing.assert_array_equal(t1.kg1.triples, t2.kg1.triples)
+    np.testing.assert_array_equal(t1.kg2.triples, t2.kg2.triples)
+    np.testing.assert_array_equal(t1.train_pairs, t2.train_pairs)
+
+
+def test_synthetic_shapes_and_ranges():
+    t = synthetic_align_task(seed=1, n_ent=400, n_rel=10, n_triples=1200)
+    assert t.n_ent == 800
+    m = t.merged_triples
+    assert m[:, [0, 2]].max() < 800 and m[:, 1].max() < t.n_rel
+    # pairs: left in kg1 range, right in kg2 global range
+    for pairs in (t.train_pairs, t.test_pairs):
+        assert pairs[:, 0].max() < 400
+        assert 400 <= pairs[:, 1].min() and pairs[:, 1].max() < 800
+    # train/test disjoint
+    tr = set(map(tuple, t.train_pairs))
+    te = set(map(tuple, t.test_pairs))
+    assert not (tr & te)
+    # attributes exist and are correlated across alignment
+    a = t.merged_attr_triples
+    assert a is not None and a[:, 0].max() < 800
+
+
+def test_dbp15k_reader_roundtrip(tmp_path):
+    """Write a tiny JAPE-format directory and read it back."""
+    from tpugraph.data.dbp15k import load_dbp15k
+
+    d = tmp_path / "zh_en"
+    d.mkdir()
+    # KG1: global ids 0,1,2 ; KG2: global ids 10,11,12 (DBP15K ids are global)
+    (d / "ent_ids_1").write_text("0\te_a\n1\te_b\n2\te_c\n")
+    (d / "ent_ids_2").write_text("10\tf_a\n11\tf_b\n12\tf_c\n")
+    (d / "triples_1").write_text("0\t5\t1\n1\t5\t2\n")
+    (d / "triples_2").write_text("10\t7\t11\n11\t8\t12\n")
+    (d / "ref_ent_ids").write_text("0\t10\n1\t11\n2\t12\n")
+    task = load_dbp15k(str(tmp_path), "zh_en", train_ratio=0.34, seed=0)
+    assert task.kg1.n_ent == 3 and task.kg2.n_ent == 3 and task.n_ent == 6
+    np.testing.assert_array_equal(task.kg1.triples, [[0, 0, 1], [1, 0, 2]])
+    np.testing.assert_array_equal(task.kg2.triples, [[0, 0, 1], [1, 1, 2]])
+    allp = np.concatenate([task.train_pairs, task.test_pairs])
+    assert sorted(map(tuple, allp)) == [(0, 3), (1, 4), (2, 5)]
+    m = task.merged_triples
+    assert m.shape == (4, 3) and m[:, 1].max() == 2  # kg2 rels offset by kg1.n_rel=1

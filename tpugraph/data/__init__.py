@@ -1,0 +1,2 @@
+from tpugraph.data.synthetic import synthetic_align_task
+from tpugraph.data.dbp15k import load_dbp15k

@@ -1,0 +1,115 @@
+"""Reader for the DBP15K / JAPE on-disk format.
+
+Directory layout (JAPE release convention — reconstructed, reference mount
+empty; SURVEY.md §2.1 "Dataset reader"):
+
+    <root>/<pair>/             e.g. zh_en/
+        ent_ids_1, ent_ids_2   "<id>\t<uri>" per line
+        rel_ids_1, rel_ids_2   "<id>\t<uri>" per line (optional)
+        triples_1, triples_2   "<head>\t<rel>\t<tail>" integer ids per line
+        ref_ent_ids            "<id1>\t<id2>" seed alignments (ILLs)
+        sup_ent_ids            optional extra training alignments
+        att_triples_{1,2}      optional "<ent>\t<attr>" integer ids
+
+DBP15K's released ids are *global* across both KGs (KG1 and KG2 ids share
+one namespace); this reader detects that and remaps to the merged-id
+convention used by AlignTask (kg2 local ids offset by kg1.n_ent).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from tpugraph.sparse.graph import KG, AlignTask
+
+
+def _read_tsv_ints(path: str, ncols: int) -> np.ndarray:
+    rows = []
+    with open(path) as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) < ncols:
+                continue
+            rows.append([int(p) for p in parts[:ncols]])
+    if not rows:
+        return np.zeros((0, ncols), dtype=np.int64)
+    return np.asarray(rows, dtype=np.int64)
+
+
+def _read_ids(path: str) -> np.ndarray:
+    """Read the id column of an ids file ('<id>\\t<uri>')."""
+    ids = []
+    with open(path) as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if parts and parts[0]:
+                ids.append(int(parts[0]))
+    return np.asarray(sorted(ids), dtype=np.int64)
+
+
+def load_dbp15k(root: str, pair: str = "zh_en", train_ratio: float = 0.3, seed: int = 0) -> AlignTask:
+    """Load a DBP15K language pair into an AlignTask."""
+    d = os.path.join(root, pair)
+    ids1 = _read_ids(os.path.join(d, "ent_ids_1"))
+    ids2 = _read_ids(os.path.join(d, "ent_ids_2"))
+    tri1 = _read_tsv_ints(os.path.join(d, "triples_1"), 3)
+    tri2 = _read_tsv_ints(os.path.join(d, "triples_2"), 3)
+    ref = _read_tsv_ints(os.path.join(d, "ref_ent_ids"), 2)
+
+    # remap global ids → local contiguous per-KG ids
+    remap1 = {int(g): i for i, g in enumerate(ids1)}
+    remap2 = {int(g): i for i, g in enumerate(ids2)}
+    n1, n2 = len(ids1), len(ids2)
+
+    def _map_triples(tri, remap):
+        out = tri.copy()
+        out[:, 0] = [remap[int(v)] for v in tri[:, 0]]
+        out[:, 2] = [remap[int(v)] for v in tri[:, 2]]
+        return out
+
+    tri1 = _map_triples(tri1, remap1)
+    tri2 = _map_triples(tri2, remap2)
+    # relations: re-index per KG to contiguous
+    r1_uniq, r1_inv = np.unique(tri1[:, 1], return_inverse=True)
+    r2_uniq, r2_inv = np.unique(tri2[:, 1], return_inverse=True)
+    tri1[:, 1] = r1_inv
+    tri2[:, 1] = r2_inv
+
+    pairs = ref.copy()
+    pairs[:, 0] = [remap1[int(v)] for v in ref[:, 0]]
+    pairs[:, 1] = [remap2[int(v)] + n1 for v in ref[:, 1]]
+
+    sup_path = os.path.join(d, "sup_ent_ids")
+    sup = None
+    if os.path.exists(sup_path):
+        sup = _read_tsv_ints(sup_path, 2)
+        sup[:, 0] = [remap1[int(v)] for v in sup[:, 0]]
+        sup[:, 1] = [remap2[int(v)] + n1 for v in sup[:, 1]]
+
+    attr1 = attr2 = None
+    n_attr = 0
+    ap1 = os.path.join(d, "att_triples_1")
+    ap2 = os.path.join(d, "att_triples_2")
+    if os.path.exists(ap1) and os.path.exists(ap2):
+        a1 = _read_tsv_ints(ap1, 2)
+        a2 = _read_tsv_ints(ap2, 2)
+        a1[:, 0] = [remap1[int(v)] for v in a1[:, 0]]
+        a2[:, 0] = [remap2[int(v)] for v in a2[:, 0]]
+        n_attr = int(max(a1[:, 1].max(initial=0), a2[:, 1].max(initial=0))) + 1
+        attr1, attr2 = a1.astype(np.int32), a2.astype(np.int32)
+
+    kg1 = KG(n_ent=n1, n_rel=len(r1_uniq), triples=tri1, attr_triples=attr1, n_attr=n_attr)
+    kg2 = KG(n_ent=n2, n_rel=len(r2_uniq), triples=tri2, attr_triples=attr2, n_attr=n_attr)
+
+    if sup is not None:
+        train_pairs, test_pairs = sup, pairs
+    else:
+        rng = np.random.default_rng(seed)
+        order = rng.permutation(len(pairs))
+        n_train = int(train_ratio * len(pairs))
+        train_pairs = pairs[order[:n_train]]
+        test_pairs = pairs[order[n_train:]]
+
+    return AlignTask(kg1=kg1, kg2=kg2, train_pairs=train_pairs, test_pairs=test_pairs, name=pair)

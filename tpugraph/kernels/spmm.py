@@ -1,0 +1,72 @@
+"""Sparse (adjacency) × dense (features) matmul — the framework's hot op.
+
+Replaces the reference family's ``torch.spmm(adj, support)`` inside
+``layers.py GraphConvolution`` (reference unverifiable — mount empty,
+SURVEY.md §0; named in BASELINE.json north_star) with TPU-native paths:
+
+* ``spmm_xla``   — gather + sorted ``segment_sum``; pure XLA, runs anywhere.
+* ``spmm``       — same forward, but with a custom VJP that computes
+                   dx = Aᵀ @ g via the operator's pre-sorted transpose edge
+                   list, so the backward pass is also a contiguous
+                   sorted-segment reduction instead of XLA's generic
+                   scatter-add over random source ids.
+
+Cost model (SURVEY.md §6): O(nnz·d) flops, gather-bound; with edges sorted
+by destination the segment reduction is contiguous and the only random
+traffic is the per-edge source-row gather, which is intrinsic to SpMM.
+
+A Pallas fused kernel (tpugraph.kernels.spmm_pallas) can be swapped in via
+the ``impl`` argument of the nn layers; this module is the permanent
+fallback (SURVEY.md §7 hard part 3).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tpugraph.sparse.graph import PaddedEdges, SpMMOperator
+
+
+def _segment_spmm(edges: PaddedEdges, x: jax.Array) -> jax.Array:
+    """out[i] = Σ_{e: dst[e]=i} w[e] * x[src[e]], rows [0, n_rows)."""
+    msg = jnp.take(x, edges.src, axis=0) * edges.w[:, None]
+    out = jax.ops.segment_sum(
+        msg,
+        edges.dst,
+        num_segments=edges.n_rows + 1,  # +1: padding dump row
+        indices_are_sorted=True,
+    )
+    return out[: edges.n_rows]
+
+
+def spmm_xla(op: SpMMOperator, x: jax.Array) -> jax.Array:
+    """A @ x with XLA autodiff (generic scatter in bwd). Baseline path."""
+    return _segment_spmm(op.fwd, x)
+
+
+@jax.custom_vjp
+def spmm(op: SpMMOperator, x: jax.Array) -> jax.Array:
+    """A @ x with a sorted-transpose custom VJP (fast backward)."""
+    return _segment_spmm(op.fwd, x)
+
+
+def _spmm_fwd(op: SpMMOperator, x: jax.Array):
+    return _segment_spmm(op.fwd, x), op
+
+
+def _spmm_bwd(op: SpMMOperator, g: jax.Array):
+    dx = _segment_spmm(op.bwd, g)  # Aᵀ @ g, also sorted-contiguous
+    zero_op = jax.tree_util.tree_map(_zero_cotangent, op)
+    return zero_op, dx
+
+
+def _zero_cotangent(leaf):
+    import numpy as np
+
+    if jnp.issubdtype(leaf.dtype, jnp.integer):
+        return np.zeros(leaf.shape, dtype=jax.dtypes.float0)
+    return jnp.zeros_like(leaf)
+
+
+spmm.defvjp(_spmm_fwd, _spmm_bwd)
