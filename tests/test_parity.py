@@ -1,0 +1,194 @@
+"""Parity vs the PyTorch-CPU oracle (the BASELINE.json validation requirement):
+per-layer activations allclose, loss values match, short training
+trajectories match (SURVEY.md §4.2 "Parity")."""
+
+import numpy as np
+import pytest
+import torch
+
+from tpugraph.data.synthetic import synthetic_align_task
+from tpugraph.parity import torch_ref
+from tpugraph.parity.inject import torch_params_to_flax
+from tpugraph.sparse.build import build_adjacency
+
+
+@pytest.fixture(scope="module")
+def task():
+    return synthetic_align_task(seed=3, n_ent=400, n_rel=8, n_triples=1400)
+
+
+def _setup(task, highway=False, weighting="uniform", norm="sym", dim=32):
+    import jax
+
+    torch.manual_seed(0)
+    adj_t = torch_ref.build_torch_adj(task.n_ent, task.merged_triples, n_rel=task.n_rel,
+                                      weighting=weighting, norm=norm)
+    tmodel = torch_ref.TorchGCN(task.n_ent, dim, highway=highway)
+    op = build_adjacency(task.n_ent, task.merged_triples, n_rel=task.n_rel,
+                         weighting=weighting, norm=norm, bucket=1024)
+    from tpugraph.models.encoder import AlignGCN
+
+    jmodel = AlignGCN(n_ent=task.n_ent, dim=dim, highway=highway)
+    params = torch_params_to_flax(torch_ref.export_params(tmodel))
+    return tmodel, adj_t, jmodel, params, op
+
+
+@pytest.mark.parametrize("highway,weighting,norm", [
+    (False, "uniform", "sym"),
+    (True, "funifun", "rw"),
+])
+def test_per_layer_activations_allclose(task, highway, weighting, norm):
+    tmodel, adj_t, jmodel, params, op = _setup(task, highway, weighting, norm)
+    with torch.no_grad():
+        t_acts = [a.numpy() for a in tmodel.layer_activations(adj_t)]
+    j_acts = jmodel.apply({"params": params}, op, method=jmodel.layer_activations)
+    assert len(t_acts) == len(j_acts) == 3
+    for i, (ta, ja) in enumerate(zip(t_acts, j_acts)):
+        np.testing.assert_allclose(np.asarray(ja), ta, rtol=1e-5, atol=1e-5,
+                                   err_msg=f"layer {i} activation mismatch")
+
+
+def test_loss_value_matches(task):
+    import jax.numpy as jnp
+
+    from tpugraph.train.losses import margin_align_loss
+
+    tmodel, adj_t, jmodel, params, op = _setup(task)
+    rng = np.random.default_rng(0)
+    neg_l, neg_r = torch_ref.sample_negatives(rng, task.train_pairs, task.kg1.n_ent,
+                                              task.n_ent, k=7)
+    with torch.no_grad():
+        emb_t = tmodel(adj_t)
+        loss_t = torch_ref.margin_align_loss(
+            emb_t, torch.from_numpy(task.train_pairs.astype(np.int64)),
+            torch.from_numpy(neg_l), torch.from_numpy(neg_r), gamma=4.0,
+        ).item()
+    emb_j = jmodel.apply({"params": params}, op)
+    loss_j = float(margin_align_loss(emb_j, jnp.asarray(task.train_pairs),
+                                     jnp.asarray(neg_l), jnp.asarray(neg_r), gamma=4.0))
+    assert loss_j == pytest.approx(loss_t, rel=1e-5, abs=1e-5)
+
+
+def test_hits_eval_matches(task):
+    import jax.numpy as jnp
+
+    from tpugraph.train.eval import hits_at_k
+
+    tmodel, adj_t, jmodel, params, op = _setup(task)
+    with torch.no_grad():
+        emb_t = tmodel(adj_t)
+    m_t = torch_ref.get_hits(emb_t, task.test_pairs)
+    emb_j = jmodel.apply({"params": params}, op)
+    m_j = hits_at_k(emb_j, jnp.asarray(task.test_pairs), block_c=128)
+    for k in ("hits@1", "hits@10", "mrr"):
+        assert m_j[k] == pytest.approx(m_t[k], abs=2e-3), k
+
+
+def test_gradients_match(task):
+    """Same weights + same negatives → per-parameter gradients allclose.
+
+    (Adam trajectories are NOT comparable across frameworks: at step 1 the
+    update is ~lr·sign(grad), so float-epsilon gradient differences flip
+    signs of near-zero entries and produce O(lr) parameter deltas.  Gradient
+    parity + an SGD trajectory below are the numerically meaningful checks.)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tpugraph.train.losses import margin_align_loss
+
+    tmodel, adj_t, jmodel, params, op = _setup(task)
+    rng = np.random.default_rng(1)
+    neg_l, neg_r = torch_ref.sample_negatives(rng, task.train_pairs, task.kg1.n_ent,
+                                              task.n_ent, k=5)
+    gamma = 6.0
+    pairs_t = torch.from_numpy(task.train_pairs.astype(np.int64))
+    loss = torch_ref.margin_align_loss(tmodel(adj_t), pairs_t,
+                                       torch.from_numpy(neg_l), torch.from_numpy(neg_r), gamma)
+    loss.backward()
+
+    def loss_fn(p):
+        emb = jmodel.apply({"params": p}, op)
+        return margin_align_loss(emb, jnp.asarray(task.train_pairs),
+                                 jnp.asarray(neg_l), jnp.asarray(neg_r), gamma)
+
+    grads = jax.jit(jax.grad(loss_fn))(params)
+    np.testing.assert_allclose(np.asarray(grads["emb"]), tmodel.emb.grad.numpy(),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(grads["gc1"]["w"]), tmodel.gc1.weight.grad.numpy(),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(grads["gc2"]["w"]), tmodel.gc2.weight.grad.numpy(),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_three_step_sgd_trajectory_matches(task):
+    """Same weights + same negatives + SGD(0.1) → allclose params after 3 steps.
+
+    γ is set large enough that every hinge term stays active across the 3
+    steps: the hinge active set is the loss's only macroscopic discontinuity,
+    so pinning it makes the trajectory comparison well-conditioned while
+    still exercising the full fwd + bwd + update loop in both frameworks.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tpugraph.train.losses import margin_align_loss
+
+    tmodel, adj_t, jmodel, params, op = _setup(task)
+    rng = np.random.default_rng(1)
+    neg_l, neg_r = torch_ref.sample_negatives(rng, task.train_pairs, task.kg1.n_ent,
+                                              task.n_ent, k=5)
+    gamma, lr = 1000.0, 0.1
+    pairs_t = torch.from_numpy(task.train_pairs.astype(np.int64))
+    opt_t = torch.optim.SGD(tmodel.parameters(), lr=lr)
+    for _ in range(3):
+        opt_t.zero_grad()
+        loss = torch_ref.margin_align_loss(tmodel(adj_t), pairs_t,
+                                           torch.from_numpy(neg_l), torch.from_numpy(neg_r), gamma)
+        loss.backward()
+        opt_t.step()
+
+    tx = optax.sgd(lr)
+    opt_state = tx.init(params)
+    pairs_j = jnp.asarray(task.train_pairs)
+    nl, nr = jnp.asarray(neg_l), jnp.asarray(neg_r)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            emb = jmodel.apply({"params": p}, op)
+            return margin_align_loss(emb, pairs_j, nl, nr, gamma)
+
+        grads = jax.grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    for _ in range(3):
+        params, opt_state = step(params, opt_state)
+
+    final_t = torch_ref.export_params(tmodel)
+    np.testing.assert_allclose(np.asarray(params["emb"]), final_t["emb"], rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(params["gc1"]["w"]), final_t["gc1"]["w"],
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(params["gc2"]["w"]), final_t["gc2"]["w"],
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_hard_negative_semantics_match(task):
+    """Device blockwise k-NN negatives == oracle dense-cdist negatives."""
+    import jax.numpy as jnp
+
+    from tpugraph.train.negatives import sample_hard_negatives
+
+    tmodel, adj_t, jmodel, params, op = _setup(task)
+    with torch.no_grad():
+        emb_t = tmodel(adj_t)
+    nl_t, nr_t = torch_ref.sample_hard_negatives(emb_t, task.train_pairs,
+                                                 task.kg1.n_ent, task.n_ent, k=4)
+    emb_j = jmodel.apply({"params": params}, op)
+    nl_j, nr_j = sample_hard_negatives(emb_j, jnp.asarray(task.train_pairs),
+                                       task.kg1.n_ent, task.n_ent, k=4, block_c=128)
+    # order within the k set may differ on ties; compare as sorted sets per row
+    np.testing.assert_array_equal(np.sort(np.asarray(nl_j), axis=1), np.sort(nl_t, axis=1))
+    np.testing.assert_array_equal(np.sort(np.asarray(nr_j), axis=1), np.sort(nr_t, axis=1))

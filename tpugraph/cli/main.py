@@ -1,0 +1,79 @@
+"""Trainer CLI (reference family train.py argparse surface, SURVEY.md §2.1).
+
+    python -m tpugraph.cli.main --config base --set epochs=100 dim=64
+    python -m tpugraph.cli.main --config highway --dataset dbp15k --data-root data/
+
+Picks a named config from tpugraph.configs.CONFIGS and applies typed
+``key=value`` overrides (``--set``).  Prints eval metrics as one JSON line at
+the end so scripts can consume it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+from tpugraph.configs import CONFIGS, get_config
+
+
+def _coerce(field_type, raw: str):
+    if field_type in (int, "int"):
+        return int(raw)
+    if field_type in (float, "float"):
+        return float(raw)
+    if field_type in (bool, "bool"):
+        return raw.lower() in ("1", "true", "yes")
+    return raw
+
+
+def parse_overrides(cfg, pairs: list[str]) -> dict:
+    fields = {f.name: f.type for f in dataclasses.fields(cfg)}
+    out = {}
+    for p in pairs:
+        if "=" not in p:
+            raise SystemExit(f"override {p!r} must be key=value")
+        k, v = p.split("=", 1)
+        if k not in fields:
+            raise SystemExit(f"unknown config key {k!r}; valid: {sorted(fields)}")
+        t = fields[k]
+        if isinstance(t, str):  # from __future__ annotations
+            t = {"int": int, "float": float, "bool": bool, "str": str}.get(
+                t.split("|")[0].strip(), str
+            )
+        out[k] = _coerce(t, v)
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="tpugraph", description=__doc__)
+    ap.add_argument("--config", default="base", choices=sorted(CONFIGS))
+    ap.add_argument("--dataset", default=None, choices=["synthetic", "dbp15k"])
+    ap.add_argument("--data-root", default=None)
+    ap.add_argument("--pair", default=None)
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--metrics", default=None, help="JSONL metrics path")
+    ap.add_argument("--profile-dir", default=None)
+    ap.add_argument("--set", nargs="*", default=[], help="key=value config overrides")
+    ap.add_argument("--quiet", action="store_true")
+    args = ap.parse_args(argv)
+
+    cfg = get_config(args.config)
+    overrides = parse_overrides(cfg, args.set)
+    for k, flag in (("dataset", args.dataset), ("data_root", args.data_root),
+                    ("pair", args.pair), ("epochs", args.epochs),
+                    ("metrics_path", args.metrics), ("profile_dir", args.profile_dir)):
+        if flag is not None:
+            overrides[k] = flag
+    cfg = cfg.replace(**overrides)
+
+    from tpugraph.train.driver import run  # deferred: jax import is slow
+
+    result = run(cfg, verbose=not args.quiet)
+    print(json.dumps({"config": cfg.name, **{k: round(v, 4) for k, v in result.metrics.items()}}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,113 @@
+"""Dataclass configs — one per BASELINE.json capability config (SURVEY.md §5.6).
+
+Plain serializable dataclasses; the CLI picks a named config and applies
+``--key=value`` overrides.  Every config is printable into the metrics JSONL
+for provenance.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    name: str = "default"
+
+    # --- data ---
+    dataset: str = "synthetic"  # 'synthetic' | 'dbp15k'
+    data_root: str = "data"  # for dbp15k: directory holding <pair>/
+    pair: str = "zh_en"
+    train_ratio: float = 0.3
+    # synthetic generator knobs (ignored for dbp15k)
+    syn_n_ent: int = 2000
+    syn_n_rel: int = 40
+    syn_n_triples: int = 8000
+    syn_drop_frac: float = 0.1
+    syn_noise_frac: float = 0.1
+    syn_seed: int = 0
+
+    # --- graph build ---
+    weighting: str = "uniform"  # 'uniform' | 'funifun'
+    norm: str = "sym"  # 'sym' | 'rw' | 'none'
+    pad_bucket: int = 8192
+
+    # --- model ---
+    dim: int = 128
+    hidden: int | None = None
+    highway: bool = False
+    dropout: float = 0.0
+    spmm_impl: str = "sorted"  # 'sorted' | 'xla' | 'pallas'
+    param_dtype: str = "float32"
+
+    # --- margin alignment loss ---
+    gamma: float = 10.0
+    k_neg: int = 50
+    neg_every: int = 5
+    neg_mode: str = "hard"  # 'uniform' | 'hard'
+
+    # --- auxiliary heads (configs 2/3) ---
+    use_sinkhorn: bool = False
+    sinkhorn_weight: float = 1.0
+    sinkhorn_iters: int = 20
+    sinkhorn_tau: float = 0.05  # entropic regularization temperature
+    use_rel_head: bool = False
+    rel_weight: float = 0.25
+    rel_dim: int = 128
+    rel_k_neg: int = 10
+    use_attr_head: bool = False
+    attr_weight: float = 0.25
+
+    # --- optimization ---
+    epochs: int = 400
+    lr: float = 2e-3
+    seed: int = 0
+    eval_every: int = 100
+
+    # --- distribution (config 4) ---
+    n_shards: int = 1  # graph-axis mesh size; 1 = single device
+    feature_shards: int = 1
+
+    # --- observability ---
+    metrics_path: str | None = None  # JSONL sink
+    profile_dir: str | None = None
+    checkpoint_dir: str | None = None
+    checkpoint_every: int = 0  # steps; 0 = disabled
+
+    def replace(self, **kw) -> "TrainConfig":
+        return dataclasses.replace(self, **kw)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+# The five BASELINE.json capability configs (SURVEY.md §0).
+CONFIGS: dict[str, TrainConfig] = {
+    # config[0]: 2-layer sparse GCN, DBP15K zh-en full-graph, margin loss (CPU-runnable)
+    "base": TrainConfig(name="base", pair="zh_en"),
+    # config[1]: highway/weighted GCN, degree-normalized adjacency, ja-en + fr-en
+    "highway": TrainConfig(
+        name="highway", pair="ja_en", weighting="funifun", norm="rw", highway=True
+    ),
+    # config[2]: alignment + Sinkhorn OT head (fused SDDMM distance + on-device OT)
+    "sinkhorn": TrainConfig(name="sinkhorn", use_sinkhorn=True),
+    # config[3]: full multi-task: alignment + relation/attribute heads, joint weighting
+    "mtl": TrainConfig(
+        name="mtl", use_sinkhorn=True, use_rel_head=True, use_attr_head=True
+    ),
+    # config[4]: edge-partitioned multi-host DWY100K-scale, boundary all-to-all
+    "dwy100k_dist": TrainConfig(
+        name="dwy100k_dist",
+        syn_n_ent=100_000,
+        syn_n_triples=500_000,
+        syn_n_rel=300,
+        n_shards=8,
+        k_neg=25,
+        pad_bucket=65536,
+    ),
+}
+
+
+def get_config(name: str, **overrides) -> TrainConfig:
+    return CONFIGS[name].replace(**overrides)

@@ -1,0 +1,43 @@
+"""GraphConvolution — the framework's core layer.
+
+TPU-native rebuild of the reference family's ``layers.py GraphConvolution``
+(``out = spmm(adj, x @ W) + b``; reference unverifiable — mount empty,
+SURVEY.md §0/§2.1).  The dense ``x @ W`` runs on the MXU; the sparse
+aggregation dispatches to a selectable SpMM implementation.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from tpugraph.kernels.spmm import spmm, spmm_xla
+from tpugraph.sparse.graph import SpMMOperator
+
+_IMPLS = {"sorted": spmm, "xla": spmm_xla}
+
+
+def get_spmm_impl(name: str):
+    if name == "pallas":  # resolved lazily to avoid importing pallas off-TPU
+        from tpugraph.kernels.spmm_pallas import spmm_pallas
+
+        return spmm_pallas
+    return _IMPLS[name]
+
+
+class GraphConvolution(nn.Module):
+    """One GCN layer: act is left to the caller (family applies ReLU outside)."""
+
+    out_dim: int
+    use_bias: bool = True
+    impl: str = "sorted"  # 'sorted' (custom-VJP) | 'xla' | 'pallas'
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, op: SpMMOperator) -> jnp.ndarray:
+        w = self.param("w", nn.initializers.xavier_uniform(), (x.shape[-1], self.out_dim))
+        support = x @ w  # MXU GEMM
+        out = get_spmm_impl(self.impl)(op, support)
+        if self.use_bias:
+            b = self.param("b", nn.initializers.zeros, (self.out_dim,))
+            out = out + b
+        return out

@@ -1,0 +1,238 @@
+"""PyTorch-CPU parity oracle — the stand-in for the absent reference.
+
+The reference mount was empty at survey time (SURVEY.md §0), so this module
+is a faithful ~200-LoC PyTorch reimplementation of the reference *family*
+(pygcn → GCN-Align lineage: sparse-COO SpMM GraphConvolution, 2-layer GCN
+encoder over the merged KG pair, optional highway gates, margin-based
+negative-sampling alignment loss, Hits@k evaluation).  BASELINE.json requires
+"per-layer activations allclose against the PyTorch reference"; this is that
+reference.  Its measured Hits@1/@10 are recorded in BASELINE.md and the JAX
+framework must match them.
+
+Deliberately torch-idiomatic (torch.sparse COO + torch.spmm, dense cdist
+eval) — this file is the *oracle*, not the product; keep it boring.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+from tpugraph.sparse.build import coo_from_triples, coo_normalize
+from tpugraph.sparse.graph import AlignTask
+
+
+def build_torch_adj(
+    n_ent: int,
+    triples: np.ndarray,
+    n_rel: int | None = None,
+    weighting: str = "uniform",
+    norm: str = "sym",
+) -> torch.Tensor:
+    """Same host-side adjacency pipeline, materialized as torch.sparse COO."""
+    src, dst, w = coo_from_triples(n_ent, triples, n_rel=n_rel, weighting=weighting)
+    w = coo_normalize(src, dst, w, n_ent, norm=norm)
+    idx = torch.from_numpy(np.stack([dst, src]).astype(np.int64))
+    val = torch.from_numpy(w.astype(np.float32))
+    return torch.sparse_coo_tensor(idx, val, (n_ent, n_ent)).coalesce()
+
+
+class TorchGraphConvolution(nn.Module):
+    """out = act(spmm(adj, x @ W) + b) — the family's layers.py layer."""
+
+    def __init__(self, in_dim: int, out_dim: int, bias: bool = True):
+        super().__init__()
+        self.weight = nn.Parameter(torch.empty(in_dim, out_dim))
+        self.bias = nn.Parameter(torch.zeros(out_dim)) if bias else None
+        nn.init.xavier_uniform_(self.weight)
+
+    def forward(self, x: torch.Tensor, adj: torch.Tensor) -> torch.Tensor:
+        support = x @ self.weight
+        out = torch.spmm(adj, support)
+        if self.bias is not None:
+            out = out + self.bias
+        return out
+
+
+class TorchHighway(nn.Module):
+    """h' = T ⊙ h + (1 − T) ⊙ x,  T = σ(x W_T + b_T)."""
+
+    def __init__(self, dim: int):
+        super().__init__()
+        self.lin = nn.Linear(dim, dim)
+        nn.init.xavier_uniform_(self.lin.weight)
+        nn.init.zeros_(self.lin.bias)
+
+    def forward(self, x: torch.Tensor, h: torch.Tensor) -> torch.Tensor:
+        t = torch.sigmoid(self.lin(x))
+        return t * h + (1.0 - t) * x
+
+
+class TorchGCN(nn.Module):
+    """2-layer GCN encoder over trainable entity embeddings (+ highway opt)."""
+
+    def __init__(self, n_ent: int, dim: int, hidden: int | None = None, highway: bool = False,
+                 dropout: float = 0.0):
+        super().__init__()
+        hidden = hidden or dim
+        self.emb = nn.Parameter(torch.empty(n_ent, dim))
+        nn.init.normal_(self.emb, std=1.0 / dim**0.5)
+        self.gc1 = TorchGraphConvolution(dim, hidden)
+        self.gc2 = TorchGraphConvolution(hidden, dim)
+        self.highway = highway
+        if highway:
+            self.hw1 = TorchHighway(hidden)
+            self.hw2 = TorchHighway(dim)
+        self.dropout = dropout
+
+    def layer_activations(self, adj: torch.Tensor) -> list[torch.Tensor]:
+        """Per-layer activations, for the allclose parity harness."""
+        acts = [self.emb]
+        h = F.relu(self.gc1(self.emb, adj))
+        if self.highway and h.shape == self.emb.shape:
+            h = self.hw1(self.emb, h)
+        acts.append(h)
+        h2 = self.gc2(F.dropout(h, self.dropout, self.training), adj)
+        if self.highway:
+            h2 = self.hw2(h, h2)
+        acts.append(h2)
+        return acts
+
+    def forward(self, adj: torch.Tensor) -> torch.Tensor:
+        return self.layer_activations(adj)[-1]
+
+
+def margin_align_loss(
+    emb: torch.Tensor,
+    pairs: torch.Tensor,  # (S, 2) long
+    neg_l: torch.Tensor,  # (S, k) long — corruptions of the right side's partner
+    neg_r: torch.Tensor,  # (S, k) long — corruptions of the left side's partner
+    gamma: float = 3.0,
+) -> torch.Tensor:
+    """Margin ranking loss with k negatives per side (L1 distance)."""
+    e_l, e_r = emb[pairs[:, 0]], emb[pairs[:, 1]]
+    d_pos = (e_l - e_r).abs().sum(-1, keepdim=True)  # (S, 1)
+    d_neg_r = (e_l.unsqueeze(1) - emb[neg_r]).abs().sum(-1)  # (S, k)
+    d_neg_l = (emb[neg_l] - e_r.unsqueeze(1)).abs().sum(-1)  # (S, k)
+    loss = F.relu(d_pos + gamma - d_neg_r).mean() + F.relu(d_pos + gamma - d_neg_l).mean()
+    return 0.5 * loss
+
+
+def sample_negatives(rng: np.random.Generator, pairs: np.ndarray, n_ent_1: int, n_ent: int,
+                     k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Corrupt left side within KG1 ids, right side within KG2 global ids."""
+    s = len(pairs)
+    neg_l = rng.integers(0, n_ent_1, size=(s, k))
+    neg_r = rng.integers(n_ent_1, n_ent, size=(s, k))
+    return neg_l.astype(np.int64), neg_r.astype(np.int64)
+
+
+def sample_hard_negatives(emb: torch.Tensor, pairs: np.ndarray, n_ent_1: int, n_ent: int,
+                          k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Truncated nearest-neighbour negatives (HGCN/RDGCN-style ε-sampling):
+    for each seed pair, the k embedding-space-closest non-partner entities of
+    the opposite KG.  Dense cdist over the candidate pools (fine on CPU at
+    DBP15K scale; the JAX side does this blockwise on device)."""
+    with torch.no_grad():
+        l = emb[torch.from_numpy(pairs[:, 0].astype(np.int64))]
+        r = emb[torch.from_numpy(pairs[:, 1].astype(np.int64))]
+        cand_l = emb[:n_ent_1]  # KG1 entities
+        cand_r = emb[n_ent_1:n_ent]  # KG2 entities
+        # negatives for the right slot: KG2 entities closest to e_l
+        d_lr = torch.cdist(l, cand_r, p=1)
+        d_lr[torch.arange(len(pairs)), torch.from_numpy(pairs[:, 1] - n_ent_1).long()] = float("inf")
+        neg_r = d_lr.topk(k, largest=False).indices.numpy() + n_ent_1
+        # negatives for the left slot: KG1 entities closest to e_r
+        d_rl = torch.cdist(r, cand_l, p=1)
+        d_rl[torch.arange(len(pairs)), torch.from_numpy(pairs[:, 0]).long()] = float("inf")
+        neg_l = d_rl.topk(k, largest=False).indices.numpy()
+    return neg_l.astype(np.int64), neg_r.astype(np.int64)
+
+
+def get_hits(emb: torch.Tensor, test_pairs: np.ndarray, ks=(1, 10)) -> dict:
+    """Family-style eval: dense cityblock cdist over test entities, both directions."""
+    with torch.no_grad():
+        l = emb[torch.from_numpy(test_pairs[:, 0].astype(np.int64))]
+        r = emb[torch.from_numpy(test_pairs[:, 1].astype(np.int64))]
+        d = torch.cdist(l, r, p=1)  # (S, S)
+        out = {}
+        for axis, tag in ((1, "l2r"), (0, "r2l")):
+            ranks = (d < d.diagonal().unsqueeze(axis)).sum(dim=axis)
+            for k in ks:
+                out[f"hits@{k}_{tag}"] = float((ranks < k).float().mean())
+            out[f"mrr_{tag}"] = float((1.0 / (ranks.float() + 1.0)).mean())
+        for k in ks:
+            out[f"hits@{k}"] = 0.5 * (out[f"hits@{k}_l2r"] + out[f"hits@{k}_r2l"])
+        out["mrr"] = 0.5 * (out["mrr_l2r"] + out["mrr_r2l"])
+    return out
+
+
+def train_oracle(
+    task: AlignTask,
+    dim: int = 128,
+    epochs: int = 400,
+    lr: float = 2e-3,
+    gamma: float = 10.0,
+    k_neg: int = 50,
+    neg_every: int = 5,
+    weighting: str = "uniform",
+    norm: str = "sym",
+    highway: bool = False,
+    neg_mode: str = "hard",  # 'uniform' | 'hard'
+    seed: int = 0,
+    eval_every: int = 50,
+    verbose: bool = False,
+) -> tuple[TorchGCN, dict]:
+    """Full-graph training loop (family train.py shape). Returns model + final metrics."""
+    torch.manual_seed(seed)
+    rng = np.random.default_rng(seed)
+    adj = build_torch_adj(task.n_ent, task.merged_triples, n_rel=task.n_rel,
+                          weighting=weighting, norm=norm)
+    model = TorchGCN(task.n_ent, dim, highway=highway)
+    opt = torch.optim.Adam(model.parameters(), lr=lr)
+    pairs = torch.from_numpy(task.train_pairs.astype(np.int64))
+    neg_l = neg_r = None
+    metrics = {}
+    for epoch in range(epochs):
+        if epoch % neg_every == 0:
+            if neg_mode == "hard" and epoch > 0:
+                with torch.no_grad():
+                    nl, nr = sample_hard_negatives(model(adj), task.train_pairs,
+                                                   task.kg1.n_ent, task.n_ent, k_neg)
+            else:
+                nl, nr = sample_negatives(rng, task.train_pairs, task.kg1.n_ent, task.n_ent, k_neg)
+            neg_l, neg_r = torch.from_numpy(nl), torch.from_numpy(nr)
+        opt.zero_grad()
+        emb = model(adj)
+        loss = margin_align_loss(emb, pairs, neg_l, neg_r, gamma)
+        loss.backward()
+        opt.step()
+        if verbose and (epoch % eval_every == 0 or epoch == epochs - 1):
+            h = get_hits(model(adj), task.test_pairs)
+            print(f"[oracle] epoch {epoch} loss {loss.item():.4f} "
+                  f"hits@1 {h['hits@1']:.3f} hits@10 {h['hits@10']:.3f}")
+    metrics = get_hits(model(adj), task.test_pairs)
+    metrics["final_loss"] = float(loss.item())
+    return model, metrics
+
+
+def export_params(model: TorchGCN) -> dict:
+    """Numpy weight dump for injection into the JAX framework (parity tests)."""
+    # .copy() is load-bearing: .detach().numpy() returns a VIEW of the live
+    # torch storage, and jnp.asarray on the CPU backend may alias it
+    # zero-copy — a later in-place torch opt.step() would then silently
+    # mutate the "exported" JAX params (cost a debugging session to find).
+    def _np(t):
+        return t.detach().numpy().copy()
+
+    out = {
+        "emb": _np(model.emb),
+        "gc1": {"w": _np(model.gc1.weight), "b": _np(model.gc1.bias)},
+        "gc2": {"w": _np(model.gc2.weight), "b": _np(model.gc2.bias)},
+    }
+    if model.highway:
+        out["hw1"] = {"w": _np(model.hw1.lin.weight).T, "b": _np(model.hw1.lin.bias)}
+        out["hw2"] = {"w": _np(model.hw2.lin.weight).T, "b": _np(model.hw2.lin.bias)}
+    return out

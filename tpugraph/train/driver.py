@@ -1,0 +1,24 @@
+"""Config → trainer dispatch.
+
+Routes a TrainConfig to the right training path: the plain full-graph loop,
+the multi-task loop (Sinkhorn/relation/attribute heads), or the
+edge-partitioned distributed step (n_shards > 1).  Kept separate from
+loop.py so the CLI and tests have one entry point as capabilities grow.
+"""
+
+from __future__ import annotations
+
+from tpugraph.configs.configs import TrainConfig
+from tpugraph.train.loop import TrainResult, fit, load_task
+
+
+def run(cfg: TrainConfig, verbose: bool = False) -> TrainResult:
+    if cfg.n_shards > 1 or cfg.feature_shards > 1:
+        from tpugraph.dist.trainer import fit_distributed
+
+        return fit_distributed(cfg, verbose=verbose)
+    if cfg.use_sinkhorn or cfg.use_rel_head or cfg.use_attr_head:
+        from tpugraph.train.mtl import fit_mtl
+
+        return fit_mtl(cfg, verbose=verbose)
+    return fit(cfg, verbose=verbose)

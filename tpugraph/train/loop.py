@@ -1,0 +1,160 @@
+"""Full-graph training loop (reference family train.py — SURVEY.md §3.1).
+
+Functional JAX trainer: one jitted train step per epoch over the whole merged
+graph, periodic on-device negative resampling, blockwise Hits@k eval.
+Everything inside the step is traced once; negatives are resampled by a
+separate jitted function so the hot step never retraces.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tpugraph.configs.configs import TrainConfig
+from tpugraph.data.dbp15k import load_dbp15k
+from tpugraph.data.synthetic import synthetic_align_task
+from tpugraph.models.encoder import AlignGCN
+from tpugraph.sparse.build import build_adjacency
+from tpugraph.sparse.graph import AlignTask, SpMMOperator
+from tpugraph.train.eval import hits_at_k
+from tpugraph.train.losses import margin_align_loss
+from tpugraph.train.metrics import MetricsLogger
+from tpugraph.train.negatives import sample_hard_negatives, sample_uniform_negatives
+
+
+@dataclass
+class TrainResult:
+    params: Any
+    metrics: dict
+    history: list = field(default_factory=list)
+    op: SpMMOperator | None = None
+    model: AlignGCN | None = None
+    task: AlignTask | None = None
+
+
+def load_task(cfg: TrainConfig) -> AlignTask:
+    if cfg.dataset == "synthetic":
+        return synthetic_align_task(
+            seed=cfg.syn_seed,
+            n_ent=cfg.syn_n_ent,
+            n_rel=cfg.syn_n_rel,
+            n_triples=cfg.syn_n_triples,
+            drop_frac=cfg.syn_drop_frac,
+            noise_frac=cfg.syn_noise_frac,
+            train_ratio=cfg.train_ratio,
+            name=f"synthetic-{cfg.pair}",
+        )
+    if cfg.dataset == "dbp15k":
+        return load_dbp15k(cfg.data_root, cfg.pair, train_ratio=cfg.train_ratio, seed=cfg.seed)
+    raise ValueError(f"unknown dataset {cfg.dataset!r}")
+
+
+def build_model(cfg: TrainConfig, task: AlignTask) -> AlignGCN:
+    return AlignGCN(
+        n_ent=task.n_ent,
+        dim=cfg.dim,
+        hidden=cfg.hidden,
+        highway=cfg.highway,
+        dropout=cfg.dropout,
+        spmm_impl=cfg.spmm_impl,
+    )
+
+
+def fit(
+    cfg: TrainConfig,
+    task: AlignTask | None = None,
+    extra_loss_fn: Callable | None = None,
+    verbose: bool = False,
+) -> TrainResult:
+    """Train an AlignGCN per config; returns final params + eval metrics.
+
+    ``extra_loss_fn(emb, params) -> (loss, aux_dict)`` lets the MTL driver
+    (train/mtl.py) add head losses without forking this loop.
+    """
+    task = task or load_task(cfg)
+    op = build_adjacency(
+        task.n_ent,
+        task.merged_triples,
+        n_rel=task.n_rel,
+        weighting=cfg.weighting,
+        norm=cfg.norm,
+        bucket=cfg.pad_bucket,
+    )
+    model = build_model(cfg, task)
+    key = jax.random.PRNGKey(cfg.seed)
+    key, init_key = jax.random.split(key)
+    params = model.init(init_key, op)["params"]
+
+    tx = optax.adam(cfg.lr)
+    opt_state = tx.init(params)
+
+    pairs = jnp.asarray(task.train_pairs)
+    n1, n = task.kg1.n_ent, task.n_ent
+
+    def loss_fn(params, neg_l, neg_r):
+        emb = model.apply({"params": params}, op, train=True)
+        loss = margin_align_loss(emb, pairs, neg_l, neg_r, cfg.gamma)
+        aux = {"margin": loss}
+        if extra_loss_fn is not None:
+            extra, extra_aux = extra_loss_fn(emb, params)
+            loss = loss + extra
+            aux.update(extra_aux)
+        return loss, aux
+
+    @jax.jit
+    def train_step(params, opt_state, neg_l, neg_r):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, neg_l, neg_r)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, aux
+
+    @jax.jit
+    def resample_hard(params):
+        emb = model.apply({"params": params}, op)
+        return sample_hard_negatives(emb, pairs, n1, n, cfg.k_neg)
+
+    @jax.jit
+    def embed(params):
+        return model.apply({"params": params}, op)
+
+    logger = MetricsLogger(cfg.metrics_path, config=cfg.to_dict())
+    history = []
+    neg_l = neg_r = None
+    nnz = op.fwd.nnz
+    t_start = time.perf_counter()
+    for epoch in range(cfg.epochs):
+        if epoch % cfg.neg_every == 0:
+            if cfg.neg_mode == "hard" and epoch > 0:
+                neg_l, neg_r = resample_hard(params)
+            else:
+                key, nk = jax.random.split(key)
+                neg_l, neg_r = sample_uniform_negatives(nk, pairs, n1, n, cfg.k_neg)
+        params, opt_state, loss, aux = train_step(params, opt_state, neg_l, neg_r)
+        if cfg.eval_every and (epoch % cfg.eval_every == 0 or epoch == cfg.epochs - 1):
+            m = hits_at_k(embed(params), jnp.asarray(task.test_pairs))
+            wall = time.perf_counter() - t_start
+            rec = {
+                "epoch": epoch,
+                "loss": float(loss),
+                "wall_s": round(wall, 3),
+                "edges_per_s": round(nnz * 2 * (epoch + 1) / max(wall, 1e-9), 1),
+                **{k: round(v, 4) for k, v in m.items()},
+            }
+            history.append(rec)
+            logger.log(rec)
+            if verbose:
+                print(
+                    f"[fit:{cfg.name}] epoch {epoch} loss {rec['loss']:.4f} "
+                    f"hits@1 {m['hits@1']:.3f} hits@10 {m['hits@10']:.3f}"
+                )
+    final = hits_at_k(embed(params), jnp.asarray(task.test_pairs))
+    final["final_loss"] = float(loss)
+    logger.close()
+    return TrainResult(params=params, metrics=final, history=history, op=op, model=model, task=task)

@@ -1,0 +1,40 @@
+"""Alignment losses.
+
+``margin_align_loss`` covers the reference family's negative-sampling margin
+ranking loss (train.py/models.py loss code — reconstructed, mount empty;
+SURVEY.md §2.1 "Alignment head + margin loss"); semantics match
+tpugraph.parity.torch_ref.margin_align_loss exactly (parity-tested).
+
+The Sinkhorn optimal-transport loss (BASELINE config[2]) lives in
+tpugraph/train/ot.py with its kernels in tpugraph/kernels/sinkhorn.py.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def pairwise_l1(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(…, d), (…, d) → broadcasted L1 distance over the last axis."""
+    return jnp.abs(a - b).sum(-1)
+
+
+def margin_align_loss(
+    emb: jnp.ndarray,
+    pairs: jnp.ndarray,  # (S, 2) int32
+    neg_l: jnp.ndarray,  # (S, k) int32 — corruptions of the left entity
+    neg_r: jnp.ndarray,  # (S, k) int32 — corruptions of the right entity
+    gamma: float = 10.0,
+) -> jnp.ndarray:
+    """Margin ranking loss, k negatives per side, L1 distance.
+
+    0.5 * (mean ReLU(d⁺ + γ − d(e_l, neg_r)) + mean ReLU(d⁺ + γ − d(neg_l, e_r)))
+    """
+    e_l = jnp.take(emb, pairs[:, 0], axis=0)
+    e_r = jnp.take(emb, pairs[:, 1], axis=0)
+    d_pos = pairwise_l1(e_l, e_r)[:, None]  # (S, 1)
+    d_neg_r = pairwise_l1(e_l[:, None, :], jnp.take(emb, neg_r, axis=0))  # (S, k)
+    d_neg_l = pairwise_l1(jnp.take(emb, neg_l, axis=0), e_r[:, None, :])  # (S, k)
+    loss_r = jnp.maximum(d_pos + gamma - d_neg_r, 0.0).mean()
+    loss_l = jnp.maximum(d_pos + gamma - d_neg_l, 0.0).mean()
+    return 0.5 * (loss_r + loss_l)

@@ -1,0 +1,95 @@
+"""Negative sampling for the alignment loss — fully on device.
+
+Covers the reference family's per-epoch host-RNG corruption sampling
+(SURVEY.md §2.1) plus the HGCN/RDGCN-style truncated nearest-neighbour
+("hard") sampling, rebuilt TPU-first:
+
+* uniform: `jax.random` with explicit keys — the same key schedule on every
+  host keeps multi-host gradients bit-identical (SURVEY.md §7 hard part 6);
+* hard: blockwise L1 k-NN over the opposite KG's entity pool, computed with
+  a `lax.scan` over candidate blocks and a running top-k merge so the
+  (S × N) distance matrix is never materialized (ring/blockwise pattern,
+  SURVEY.md §5.7).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from tpugraph.train.losses import pairwise_l1
+
+
+def sample_uniform_negatives(
+    key: jax.Array, pairs: jnp.ndarray, n_ent_1: int, n_ent: int, k: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Corrupt left slot within KG1 ids, right slot within KG2 global ids."""
+    s = pairs.shape[0]
+    kl, kr = jax.random.split(key)
+    neg_l = jax.random.randint(kl, (s, k), 0, n_ent_1, dtype=jnp.int32)
+    neg_r = jax.random.randint(kr, (s, k), n_ent_1, n_ent, dtype=jnp.int32)
+    return neg_l, neg_r
+
+
+def _topk_merge(run_vals, run_idx, new_vals, new_idx, k):
+    """Merge running smallest-k with a new block of candidates."""
+    vals = jnp.concatenate([run_vals, new_vals], axis=1)
+    idx = jnp.concatenate([run_idx, new_idx], axis=1)
+    neg_top, pos = jax.lax.top_k(-vals, k)
+    return -neg_top, jnp.take_along_axis(idx, pos, axis=1)
+
+
+@partial(jax.jit, static_argnames=("k", "block_c"))
+def blockwise_knn_l1(
+    q: jnp.ndarray,  # (S, d) queries
+    cands: jnp.ndarray,  # (C, d) candidate pool
+    exclude: jnp.ndarray,  # (S,) candidate index to mask out (true partner), -1 = none
+    k: int,
+    block_c: int = 1024,
+) -> jnp.ndarray:
+    """Indices (into cands) of the k L1-nearest candidates per query."""
+    s, d = q.shape
+    c = cands.shape[0]
+    c_pad = ((c + block_c - 1) // block_c) * block_c
+    cands_p = jnp.concatenate(
+        [cands, jnp.full((c_pad - c, d), jnp.inf, dtype=cands.dtype)], axis=0
+    )
+    n_blocks = c_pad // block_c
+    blocks = cands_p.reshape(n_blocks, block_c, d)
+    offsets = jnp.arange(n_blocks, dtype=jnp.int32) * block_c
+
+    init_vals = jnp.full((s, k), jnp.inf, dtype=jnp.float32)
+    init_idx = jnp.zeros((s, k), dtype=jnp.int32)
+
+    def body(carry, blk):
+        rv, ri = carry
+        cb, off = blk
+        dmat = pairwise_l1(q[:, None, :], cb[None, :, :]).astype(jnp.float32)  # (S, Bc)
+        cidx = off + jax.lax.broadcasted_iota(jnp.int32, (s, block_c), 1)
+        dmat = jnp.where(cidx == exclude[:, None], jnp.inf, dmat)
+        return _topk_merge(rv, ri, dmat, cidx, k), None
+
+    (vals, idx), _ = jax.lax.scan(body, (init_vals, init_idx), (blocks, offsets))
+    return idx
+
+
+def sample_hard_negatives(
+    emb: jnp.ndarray,
+    pairs: jnp.ndarray,
+    n_ent_1: int,
+    n_ent: int,
+    k: int,
+    block_c: int = 1024,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Truncated k-NN negatives: the k closest non-partner entities of the
+    opposite KG, in current embedding space (semantics match
+    parity/torch_ref.sample_hard_negatives)."""
+    e_l = jnp.take(emb, pairs[:, 0], axis=0)
+    e_r = jnp.take(emb, pairs[:, 1], axis=0)
+    cand_l = jax.lax.slice_in_dim(emb, 0, n_ent_1, axis=0)
+    cand_r = jax.lax.slice_in_dim(emb, n_ent_1, n_ent, axis=0)
+    neg_r = blockwise_knn_l1(e_l, cand_r, pairs[:, 1] - n_ent_1, k, block_c) + n_ent_1
+    neg_l = blockwise_knn_l1(e_r, cand_l, pairs[:, 0], k, block_c)
+    return neg_l, neg_r
