@@ -1,0 +1,110 @@
+"""Headline benchmark: SpMM fwd+bwd edges/s/chip at DBP15K zh-en scale.
+
+Prints ONE JSON line:
+    {"metric": "spmm_fwd_bwd_edges_per_s_per_chip", "value": N,
+     "unit": "edges/s", "vs_baseline": R}
+
+The reference published no numbers (BASELINE.md: reference mount empty,
+``published: {}``), so ``vs_baseline`` is the speedup over the PyTorch-CPU
+parity oracle (torch.sparse COO spmm fwd+bwd on this machine) on the same
+graph and feature dim — the only measurable stand-in for the reference's
+torch.spmm path.
+
+One fwd+bwd pass counts nnz edges (not 2·nnz); both sides use the identical
+formula, so the ratio is unaffected.
+
+Graph: synthetic DBP15K-zh-en-scale merged KG pair (~164k entities, ~390k
+relation triples → ~0.95M directed message edges + self-loops), d=128.
+Iterations are chained (x_{i+1} = Aᵀ(A x_i)) inside one jitted lax.scan so
+the tunnel/dispatch latency of this environment is amortized away.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+DIM = 128
+JAX_ITERS = 32
+TORCH_ITERS = 4
+
+
+def build_graph():
+    from tpugraph.data.synthetic import synthetic_align_task
+
+    # one side ~82k entities / ~195k triples → merged ~164k / ~390k (zh-en scale)
+    task = synthetic_align_task(
+        seed=0, n_ent=82_000, n_rel=300, n_triples=195_000, n_pairs=15_000,
+        n_attr=0, attrs_per_ent=0,
+    )
+    return task
+
+
+def bench_jax(task) -> tuple[float, int]:
+    import jax
+    import jax.numpy as jnp
+
+    from tpugraph.kernels.spmm import spmm
+    from tpugraph.sparse.build import build_adjacency
+
+    op = build_adjacency(task.n_ent, task.merged_triples, n_rel=task.n_rel,
+                         weighting="funifun", norm="sym", bucket=65536)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((task.n_ent, DIM)), dtype=jnp.float32
+    )
+
+    @jax.jit
+    def many(x):
+        def body(x, _):
+            y, vjp = jax.vjp(lambda x: spmm(op, x), x)
+            (dx,) = vjp(y)  # backward pass with upstream = y
+            return dx, None
+
+        x, _ = jax.lax.scan(body, x, None, length=JAX_ITERS)
+        return x
+
+    many(x).block_until_ready()  # compile + warm
+    t0 = time.perf_counter()
+    many(x).block_until_ready()
+    wall = time.perf_counter() - t0
+    return op.fwd.nnz * JAX_ITERS / wall, op.fwd.nnz
+
+
+def bench_torch(task) -> float:
+    import torch
+
+    from tpugraph.parity.torch_ref import build_torch_adj
+
+    adj = build_torch_adj(task.n_ent, task.merged_triples, n_rel=task.n_rel,
+                          weighting="funifun", norm="sym")
+    nnz = adj._nnz()
+    x = torch.randn(task.n_ent, DIM)
+    # warm
+    y = torch.spmm(adj, x)
+    t0 = time.perf_counter()
+    xc = x
+    for _ in range(TORCH_ITERS):
+        xc = xc.detach().requires_grad_(True)
+        y = torch.spmm(adj, xc)
+        y.backward(gradient=y.detach())
+        xc = xc.grad
+    wall = time.perf_counter() - t0
+    return nnz * TORCH_ITERS / wall
+
+
+def main():
+    task = build_graph()
+    jax_eps, nnz = bench_jax(task)
+    torch_eps = bench_torch(task)
+    print(json.dumps({
+        "metric": "spmm_fwd_bwd_edges_per_s_per_chip",
+        "value": round(jax_eps, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(jax_eps / torch_eps, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
