@@ -1,0 +1,70 @@
+"""AlignMTL — flagship multi-task model (BASELINE.json config[3]).
+
+Shared AlignGCN encoder + alignment losses (margin, optional Sinkhorn OT) +
+auxiliary relation/attribute heads, joined as
+
+    L = L_margin + λ_ot·L_ot + λ_rel·L_rel + λ_attr·L_attr
+
+(SURVEY.md §2.1 "Auxiliary MTL heads": joint loss weighting).  One flax
+module so every parameter lives in a single tree for optimization,
+checkpointing, and sharding.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from tpugraph.configs.configs import TrainConfig
+from tpugraph.models.encoder import AlignGCN
+from tpugraph.models.heads import AttributeHead, RelationHead
+from tpugraph.sparse.graph import SpMMOperator
+from tpugraph.train.losses import margin_align_loss
+from tpugraph.train.ot import sinkhorn_align_loss
+
+
+class AlignMTL(nn.Module):
+    n_ent: int
+    n_rel: int
+    n_attr: int
+    cfg: TrainConfig
+
+    def setup(self):
+        c = self.cfg
+        self.encoder = AlignGCN(
+            n_ent=self.n_ent, dim=c.dim, hidden=c.hidden, highway=c.highway,
+            dropout=c.dropout, spmm_impl=c.spmm_impl,
+        )
+        if c.use_rel_head:
+            self.rel_head = RelationHead(n_rel=self.n_rel, dim=c.dim)
+        if c.use_attr_head:
+            self.attr_head = AttributeHead(n_attr=self.n_attr)
+
+    def embed(self, op: SpMMOperator, train: bool = False) -> jnp.ndarray:
+        return self.encoder(op, train=train)
+
+    def __call__(self, op, batch: dict, train: bool = False):
+        """batch keys: pairs, neg_l, neg_r, and (per enabled head)
+        rel_triples/rel_neg_t/rel_neg_h, attr_triples."""
+        c = self.cfg
+        emb = self.encoder(op, train=train)
+        aux = {}
+        loss = margin_align_loss(emb, batch["pairs"], batch["neg_l"], batch["neg_r"], c.gamma)
+        aux["margin"] = loss
+        if c.use_sinkhorn:
+            l_ot = sinkhorn_align_loss(
+                emb, batch["pairs"], tau=c.sinkhorn_tau, n_iters=c.sinkhorn_iters
+            )
+            aux["sinkhorn"] = l_ot
+            loss = loss + c.sinkhorn_weight * l_ot
+        if c.use_rel_head:
+            l_rel = self.rel_head(emb, batch["rel_triples"], batch["rel_neg_t"],
+                                  batch["rel_neg_h"])
+            aux["rel"] = l_rel
+            loss = loss + c.rel_weight * l_rel
+        if c.use_attr_head:
+            l_attr = self.attr_head(emb, batch["attr_triples"])
+            aux["attr"] = l_attr
+            loss = loss + c.attr_weight * l_attr
+        aux["total"] = loss
+        return loss, aux

@@ -1,0 +1,123 @@
+"""Multi-task training loop (BASELINE.json configs [2] and [3]).
+
+Same full-graph epoch structure as train/loop.py, but over the AlignMTL
+model: each resample interval draws fresh alignment negatives, relation
+triple corruptions, and an attribute-triple batch — all on device with
+explicit keys, so the step itself never retraces.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tpugraph.configs.configs import TrainConfig
+from tpugraph.models.align import AlignMTL
+from tpugraph.sparse.build import build_adjacency
+from tpugraph.sparse.graph import AlignTask
+from tpugraph.train.eval import hits_at_k
+from tpugraph.train.loop import TrainResult, load_task
+from tpugraph.train.metrics import MetricsLogger
+from tpugraph.train.negatives import sample_hard_negatives, sample_uniform_negatives
+
+
+def _rel_batch(key, triples: jnp.ndarray, n_ent: int, k: int):
+    """Corrupt tails and heads uniformly over the merged entity set."""
+    t = triples.shape[0]
+    kt, kh = jax.random.split(key)
+    neg_t = jax.random.randint(kt, (t, k), 0, n_ent, dtype=jnp.int32)
+    neg_h = jax.random.randint(kh, (t, k), 0, n_ent, dtype=jnp.int32)
+    return neg_t, neg_h
+
+
+def _attr_batch(key, attr_triples: jnp.ndarray, batch: int):
+    idx = jax.random.randint(key, (batch,), 0, attr_triples.shape[0], dtype=jnp.int32)
+    return jnp.take(attr_triples, idx, axis=0)
+
+
+def fit_mtl(cfg: TrainConfig, task: AlignTask | None = None, verbose: bool = False) -> TrainResult:
+    task = task or load_task(cfg)
+    op = build_adjacency(
+        task.n_ent, task.merged_triples, n_rel=task.n_rel,
+        weighting=cfg.weighting, norm=cfg.norm, bucket=cfg.pad_bucket,
+    )
+    attr_all = task.merged_attr_triples
+    if cfg.use_attr_head and (attr_all is None or task.n_attr == 0):
+        raise ValueError("attribute head enabled but the task has no attribute triples")
+    model = AlignMTL(n_ent=task.n_ent, n_rel=task.n_rel, n_attr=max(task.n_attr, 1), cfg=cfg)
+
+    pairs = jnp.asarray(task.train_pairs)
+    rel_triples = jnp.asarray(task.merged_triples)
+    attr_triples = jnp.asarray(attr_all) if attr_all is not None else None
+    n1, n = task.kg1.n_ent, task.n_ent
+    attr_bs = min(8192, attr_triples.shape[0]) if attr_triples is not None else 0
+
+    def make_batch(key, params=None):
+        ks = jax.random.split(key, 4)
+        if cfg.neg_mode == "hard" and params is not None:
+            emb = model.apply({"params": params}, op, method=model.embed)
+            neg_l, neg_r = sample_hard_negatives(emb, pairs, n1, n, cfg.k_neg)
+        else:
+            neg_l, neg_r = sample_uniform_negatives(ks[0], pairs, n1, n, cfg.k_neg)
+        batch = {"pairs": pairs, "neg_l": neg_l, "neg_r": neg_r}
+        if cfg.use_rel_head:
+            batch["rel_neg_t"], batch["rel_neg_h"] = _rel_batch(ks[1], rel_triples, n, cfg.rel_k_neg)
+            batch["rel_triples"] = rel_triples
+        if cfg.use_attr_head:
+            batch["attr_triples"] = _attr_batch(ks[2], attr_triples, attr_bs)
+        return batch
+
+    key = jax.random.PRNGKey(cfg.seed)
+    key, init_key, bk = jax.random.split(key, 3)
+    params = model.init(init_key, op, make_batch(bk))["params"]
+    tx = optax.adam(cfg.lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, batch):
+        (loss, aux), grads = jax.value_and_grad(
+            lambda p, b: model.apply({"params": p}, op, b, train=True), has_aux=True
+        )(params, batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss, aux
+
+    make_batch_jit = jax.jit(make_batch)
+    make_batch_hard_jit = jax.jit(lambda key, params: make_batch(key, params))
+
+    @jax.jit
+    def embed(params):
+        return model.apply({"params": params}, op, method=model.embed)
+
+    logger = MetricsLogger(cfg.metrics_path, config=cfg.to_dict())
+    history = []
+    batch = None
+    t_start = time.perf_counter()
+    for epoch in range(cfg.epochs):
+        if epoch % cfg.neg_every == 0:
+            key, bk = jax.random.split(key)
+            if cfg.neg_mode == "hard" and epoch > 0:
+                batch = make_batch_hard_jit(bk, params)
+            else:
+                batch = make_batch_jit(bk)
+        params, opt_state, loss, aux = train_step(params, opt_state, batch)
+        if cfg.eval_every and (epoch % cfg.eval_every == 0 or epoch == cfg.epochs - 1):
+            m = hits_at_k(embed(params), jnp.asarray(task.test_pairs))
+            rec = {
+                "epoch": epoch,
+                "wall_s": round(time.perf_counter() - t_start, 3),
+                **{f"loss_{k}": float(v) for k, v in aux.items()},
+                **{k: round(v, 4) for k, v in m.items()},
+            }
+            history.append(rec)
+            logger.log(rec)
+            if verbose:
+                parts = " ".join(f"{k}={float(v):.4f}" for k, v in aux.items())
+                print(f"[mtl:{cfg.name}] epoch {epoch} {parts} hits@1 {m['hits@1']:.3f}")
+    final = hits_at_k(embed(params), jnp.asarray(task.test_pairs))
+    final["final_loss"] = float(loss)
+    logger.close()
+    return TrainResult(params=params, metrics=final, history=history, op=op, model=model, task=task)
