@@ -178,12 +178,30 @@ def build_adjacency(
     self_loops: bool = True,
     w_min: float = 0.3,
     bucket: int = PAD_BUCKET,
+    use_native: bool = True,
 ) -> SpMMOperator:
-    """Full pipeline: triples → weighted, normalized, padded SpMM operator."""
-    src, dst, w = coo_from_triples(
-        n_ent, triples, n_rel=n_rel, weighting=weighting, w_min=w_min, self_loops=self_loops
-    )
-    w = coo_normalize(src, dst, w, n_ent, norm=norm)
+    """Full pipeline: triples → weighted, normalized, padded SpMM operator.
+
+    Uses the native C++ builder (tpugraph/native, equivalence-tested) when a
+    toolchain is available; otherwise the numpy path below.
+    """
+    out = None
+    if use_native:
+        from tpugraph import native
+
+        if native.available():
+            out = native.native_coo_from_triples(
+                n_ent, triples, n_rel=n_rel, weighting=weighting, w_min=w_min,
+                self_loops=self_loops, norm=norm,
+            )
+    if out is not None:
+        src, dst, w = out
+    else:
+        src, dst, w = coo_from_triples(
+            n_ent, triples, n_rel=n_rel, weighting=weighting, w_min=w_min,
+            self_loops=self_loops,
+        )
+        w = coo_normalize(src, dst, w, n_ent, norm=norm)
     return build_spmm_operator(src, dst, w, n_ent, bucket=bucket)
 
 
