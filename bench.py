@@ -27,7 +27,7 @@ import time
 import numpy as np
 
 DIM = 128
-JAX_ITERS = 32
+JAX_ITERS = 16
 TORCH_ITERS = 4
 
 
@@ -46,11 +46,11 @@ def bench_jax(task) -> tuple[float, int]:
     import jax
     import jax.numpy as jnp
 
-    from tpugraph.kernels.spmm import spmm
+    from tpugraph.kernels.spmm_ell import spmm_ell as spmm
     from tpugraph.sparse.build import build_adjacency
 
     op = build_adjacency(task.n_ent, task.merged_triples, n_rel=task.n_rel,
-                         weighting="funifun", norm="sym", bucket=65536)
+                         weighting="funifun", norm="sym", fmt="ell")
     x = jnp.asarray(
         np.random.default_rng(0).standard_normal((task.n_ent, DIM)), dtype=jnp.float32
     )
@@ -69,7 +69,7 @@ def bench_jax(task) -> tuple[float, int]:
     t0 = time.perf_counter()
     many(x).block_until_ready()
     wall = time.perf_counter() - t0
-    return op.fwd.nnz * JAX_ITERS / wall, op.fwd.nnz
+    return op.nnz * JAX_ITERS / wall, op.nnz
 
 
 def bench_torch(task) -> float:

@@ -1,0 +1,142 @@
+"""Distributed path tests on the virtual 8-device CPU mesh (SURVEY.md §4.2):
+partitioner invariants, halo-SpMM ≡ dense oracle, and the N-shard trainer
+matching the single-device trainer step-for-step."""
+
+import numpy as np
+import pytest
+
+from tpugraph.sparse.build import coo_from_triples, coo_normalize, coo_to_dense
+from tpugraph.sparse.partition import partition_edges
+
+
+def _graph(n=96, t=400, seed=0):
+    rng = np.random.default_rng(seed)
+    h = rng.integers(0, n, t)
+    tt = rng.integers(0, n, t)
+    keep = h != tt
+    tri = np.stack([h[keep], rng.integers(0, 5, keep.sum()), tt[keep]], axis=1)
+    src, dst, w = coo_from_triples(n, tri, weighting="uniform")
+    w = coo_normalize(src, dst, w, n, "sym")
+    return n, src, dst, w
+
+
+def test_partition_conserves_edges():
+    n, src, dst, w = _graph()
+    for s in (2, 4, 8):
+        hg = partition_edges(src, dst, w, n, s)
+        total_w = float(np.asarray(hg.loc_w).sum() + np.asarray(hg.bnd_w).sum())
+        assert total_w == pytest.approx(float(w.sum()), rel=1e-6)
+        assert hg.nnz == len(src)
+        # per-shard dst are sorted (pad rows n_loc at the end)
+        for arr in (np.asarray(hg.loc_dst), np.asarray(hg.bnd_dst)):
+            assert (np.diff(arr, axis=1) >= 0).all()
+
+
+@pytest.mark.parametrize("n_shards", [2, 4, 8])
+def test_halo_spmm_matches_dense(n_shards):
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+
+    from tpugraph.dist.halo import halo_spmm
+    from tpugraph.dist.mesh import make_mesh
+    from tpugraph.sparse.partition import HaloGraph
+
+    n, src, dst, w = _graph()
+    hg = partition_edges(src, dst, w, n, n_shards)
+    n_pad = hg.n_loc * n_shards
+    mesh = make_mesh(n_shards, 1)
+    rng = np.random.default_rng(1)
+    d = 8
+    x = np.zeros((n_pad, d), np.float32)
+    x[:n] = rng.standard_normal((n, d)).astype(np.float32)
+
+    from jax import shard_map
+
+    g = P("graph")
+    spec_tree = HaloGraph(
+        loc_src=g, loc_dst=g, loc_w=g, bnd_src=g, bnd_dst=g, bnd_w=g,
+        send_idx=g, send_mask=g, n_shards=hg.n_shards, n_loc=hg.n_loc,
+        halo_b=hg.halo_b, nnz=hg.nnz, n_rows=hg.n_rows,
+    )
+
+    @partial(shard_map, mesh=mesh, in_specs=(P("graph", None), spec_tree),
+             out_specs=P("graph", None))
+    def run(x_local, hgs):
+        return halo_spmm(
+            x_local,
+            hgs.loc_src.reshape(-1), hgs.loc_dst.reshape(-1), hgs.loc_w.reshape(-1),
+            hgs.bnd_src.reshape(-1), hgs.bnd_dst.reshape(-1), hgs.bnd_w.reshape(-1),
+            hgs.send_idx.reshape(hgs.n_shards, hgs.halo_b),
+            hgs.send_mask.reshape(hgs.n_shards, hgs.halo_b),
+        )
+
+    with mesh:
+        out = np.asarray(jax.jit(run)(jnp.asarray(x), hg))
+    a = coo_to_dense(src, dst, w, n, n)
+    want = a @ x[:n]
+    np.testing.assert_allclose(out[:n], want, rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(out[n:], 0.0, atol=1e-6)
+
+
+def test_halo_spmm_grad_matches_dense():
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from tpugraph.dist.halo import halo_spmm
+    from tpugraph.dist.mesh import make_mesh
+    from tpugraph.sparse.partition import HaloGraph
+
+    n, src, dst, w = _graph(n=64, t=250, seed=2)
+    n_shards = 4
+    hg = partition_edges(src, dst, w, n, n_shards)
+    n_pad = hg.n_loc * n_shards
+    mesh = make_mesh(n_shards, 1)
+    rng = np.random.default_rng(3)
+    d = 4
+    x = np.zeros((n_pad, d), np.float32)
+    x[:n] = rng.standard_normal((n, d)).astype(np.float32)
+    g = P("graph")
+    spec_tree = HaloGraph(
+        loc_src=g, loc_dst=g, loc_w=g, bnd_src=g, bnd_dst=g, bnd_w=g,
+        send_idx=g, send_mask=g, n_shards=hg.n_shards, n_loc=hg.n_loc,
+        halo_b=hg.halo_b, nnz=hg.nnz, n_rows=hg.n_rows,
+    )
+
+    @partial(shard_map, mesh=mesh, in_specs=(P("graph", None), spec_tree),
+             out_specs=P("graph", None))
+    def run(x_local, hgs):
+        return halo_spmm(
+            x_local,
+            hgs.loc_src.reshape(-1), hgs.loc_dst.reshape(-1), hgs.loc_w.reshape(-1),
+            hgs.bnd_src.reshape(-1), hgs.bnd_dst.reshape(-1), hgs.bnd_w.reshape(-1),
+            hgs.send_idx.reshape(hgs.n_shards, hgs.halo_b),
+            hgs.send_mask.reshape(hgs.n_shards, hgs.halo_b),
+        )
+
+    with mesh:
+        grad = jax.jit(jax.grad(lambda x: jnp.sum(run(x, hg) ** 2)))(jnp.asarray(x))
+    a = coo_to_dense(src, dst, w, n, n)
+    want = 2 * a.T @ (a @ x[:n])
+    np.testing.assert_allclose(np.asarray(grad)[:n], want, rtol=2e-4, atol=1e-4)
+
+
+def test_fit_distributed_matches_single_device():
+    """N=8 sharded trainer ≡ single-device trainer (same seeds, uniform negs)."""
+    from tpugraph.configs import get_config
+    from tpugraph.data.synthetic import synthetic_align_task
+    from tpugraph.dist.trainer import fit_distributed
+
+    task = synthetic_align_task(seed=4, n_ent=120, n_rel=5, n_triples=500)
+    kw = dict(dim=16, epochs=12, eval_every=6, k_neg=6, neg_every=4,
+              neg_mode="uniform", pad_bucket=256, syn_n_ent=120)
+    r1 = fit_distributed(get_config("base", n_shards=1, **kw), task=task)
+    r8 = fit_distributed(get_config("base", n_shards=8, **kw), task=task)
+    # identical math up to collective reduction order
+    assert r1.history[-1]["loss"] == pytest.approx(r8.history[-1]["loss"], rel=1e-4)
+    assert r1.metrics["hits@1"] == pytest.approx(r8.metrics["hits@1"], abs=1e-6)
+    assert r1.metrics["hits@10"] == pytest.approx(r8.metrics["hits@10"], abs=1e-6)

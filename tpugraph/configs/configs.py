@@ -38,7 +38,7 @@ class TrainConfig:
     hidden: int | None = None
     highway: bool = False
     dropout: float = 0.0
-    spmm_impl: str = "sorted"  # 'sorted' | 'xla' | 'pallas'
+    spmm_impl: str = "ell"  # 'ell' (scatter-free, fastest) | 'sorted' | 'xla' | 'pallas'
     param_dtype: str = "float32"
 
     # --- margin alignment loss ---

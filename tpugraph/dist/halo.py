@@ -1,0 +1,49 @@
+"""Halo-exchange SpMM inside shard_map (BASELINE.json config[4] centerpiece).
+
+Per shard (all code below runs per-device under shard_map over the 'graph'
+axis; leading (n_shards, …) axes of HaloGraph are already split away):
+
+1. gather the boundary rows each peer needs and launch ONE tiled
+   ``all_to_all`` over ICI;
+2. aggregate the LOCAL edge group — independent of the exchange, so XLA's
+   latency-hiding scheduler overlaps it with the in-flight collective
+   (SURVEY.md §3.4 / §7 hard part 4; verified via profiler trace);
+3. aggregate the BOUNDARY edge group from the received halo buffer;
+4. sum the two partial aggregations.
+
+Gradients: plain JAX AD through this function gives the reverse exchange
+(all_to_all transposes to all_to_all, gather to segment-scatter over the
+B-sized send lists) — no hand-written backward needed.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _segsum(w, x, src, dst, n_rows):
+    msg = jnp.take(x, src, axis=0) * w[:, None]
+    out = jax.ops.segment_sum(msg, dst, num_segments=n_rows + 1, indices_are_sorted=True)
+    return out[:n_rows]
+
+
+def halo_spmm(
+    x_local: jnp.ndarray,  # (n_loc, d) — this shard's rows of the feature matrix
+    loc_src, loc_dst, loc_w,  # (E_loc,) local edge group
+    bnd_src, bnd_dst, bnd_w,  # (E_bnd,) boundary edge group (src in halo buffer)
+    send_idx,  # (S, B) — local rows to send to each peer
+    send_mask,  # (S, B)
+    axis: str = "graph",
+) -> jnp.ndarray:
+    n_loc, d = x_local.shape
+    s, b = send_idx.shape
+    # 1. halo exchange: one tiled all_to_all over ICI
+    send = jnp.take(x_local, send_idx.reshape(-1), axis=0).reshape(s, b, d)
+    send = send * send_mask[:, :, None]
+    recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0, tiled=True)
+    # 2. local aggregation — no data dependence on `recv`; overlaps the exchange
+    out = _segsum(loc_w, x_local, loc_src, loc_dst, n_loc)
+    # 3. boundary aggregation from the received halo rows
+    out = out + _segsum(bnd_w, recv.reshape(s * b, d), bnd_src, bnd_dst, n_loc)
+    return out

@@ -1,0 +1,193 @@
+"""Edge-partitioned distributed trainer (BASELINE.json config[4]).
+
+The encoder runs inside ``shard_map`` over the 'graph' mesh axis with the
+entity-embedding table sharded by entity range and the adjacency
+edge-partitioned (sparse/partition.py); neighborhood aggregation uses the
+halo-exchange SpMM (dist/halo.py).  Everything outside the encoder — margin
+loss over seed pairs, negatives, the optimizer — runs under GSPMD on the
+row-sharded embedding output, with XLA inserting the needed gathers.
+
+Functionally identical to the single-device path: tests assert N=1 ≡ N=8
+(virtual devices) step-for-step.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from tpugraph.configs.configs import TrainConfig
+from tpugraph.dist.halo import halo_spmm
+from tpugraph.dist.mesh import make_mesh
+from tpugraph.sparse.partition import HaloGraph, partition_edges
+from tpugraph.sparse.build import coo_from_triples, coo_normalize
+from tpugraph.sparse.graph import AlignTask
+from tpugraph.train.eval import hits_at_k
+from tpugraph.train.loop import TrainResult, load_task
+from tpugraph.train.losses import margin_align_loss
+from tpugraph.train.metrics import MetricsLogger
+from tpugraph.train.negatives import sample_hard_negatives, sample_uniform_negatives
+
+
+def init_params(key, n_pad: int, dim: int, hidden: int, highway: bool):
+    ks = jax.random.split(key, 6)
+    xavier = jax.nn.initializers.xavier_uniform()
+    p = {
+        "emb": jax.random.normal(ks[0], (n_pad, dim)) / dim**0.5,
+        "gc1": {"w": xavier(ks[1], (dim, hidden)), "b": jnp.zeros((hidden,))},
+        "gc2": {"w": xavier(ks[2], (hidden, dim)), "b": jnp.zeros((dim,))},
+    }
+    if highway:
+        p["hw1"] = {"w": xavier(ks[3], (hidden, hidden)), "b": jnp.zeros((hidden,))}
+        p["hw2"] = {"w": xavier(ks[4], (dim, dim)), "b": jnp.zeros((dim,))}
+    return p
+
+
+def make_encoder(mesh, hg: HaloGraph, highway: bool):
+    """Returns encode(params) -> (N_pad, d) embeddings, row-sharded on 'graph'.
+
+    The shard_map body mirrors models/encoder.py AlignGCN exactly (parity
+    is asserted in tests/test_dist.py); only the SpMM is halo-exchanged.
+    """
+    g = P("graph")
+    repl = P()
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            {  # params
+                "emb": P("graph", None),
+                "gc1": {"w": repl, "b": repl},
+                "gc2": {"w": repl, "b": repl},
+                **({"hw1": {"w": repl, "b": repl}, "hw2": {"w": repl, "b": repl}}
+                   if highway else {}),
+            },
+            # HaloGraph stacked leaves: split leading shard axis
+            HaloGraph(
+                loc_src=g, loc_dst=g, loc_w=g,
+                bnd_src=g, bnd_dst=g, bnd_w=g,
+                send_idx=g, send_mask=g,
+                n_shards=hg.n_shards, n_loc=hg.n_loc, halo_b=hg.halo_b,
+                nnz=hg.nnz, n_rows=hg.n_rows,
+            ),
+        ),
+        out_specs=P("graph", None),
+        
+    )
+    def encode(params, hgs: HaloGraph):
+        def squeeze(a):
+            return a.reshape(a.shape[1:]) if a.ndim > 1 or True else a
+
+        loc_src = hgs.loc_src.reshape(-1)
+        loc_dst = hgs.loc_dst.reshape(-1)
+        loc_w = hgs.loc_w.reshape(-1)
+        bnd_src = hgs.bnd_src.reshape(-1)
+        bnd_dst = hgs.bnd_dst.reshape(-1)
+        bnd_w = hgs.bnd_w.reshape(-1)
+        send_idx = hgs.send_idx.reshape(hgs.n_shards, hgs.halo_b)
+        send_mask = hgs.send_mask.reshape(hgs.n_shards, hgs.halo_b)
+
+        def spmm(x):
+            return halo_spmm(x, loc_src, loc_dst, loc_w, bnd_src, bnd_dst, bnd_w,
+                             send_idx, send_mask)
+
+        x = params["emb"]  # (n_loc, dim)
+        h = jax.nn.relu(spmm(x @ params["gc1"]["w"]) + params["gc1"]["b"])
+        if highway:
+            t = jax.nn.sigmoid(x @ params["hw1"]["w"] + params["hw1"]["b"])
+            h = t * h + (1.0 - t) * x
+        h2 = spmm(h @ params["gc2"]["w"]) + params["gc2"]["b"]
+        if highway:
+            t2 = jax.nn.sigmoid(h @ params["hw2"]["w"] + params["hw2"]["b"])
+            h2 = t2 * h2 + (1.0 - t2) * h
+        return h2
+
+    return encode
+
+
+def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
+                    verbose: bool = False) -> TrainResult:
+    task = task or load_task(cfg)
+    n_shards = cfg.n_shards
+    mesh = make_mesh(n_shards, cfg.feature_shards)
+
+    src, dst, w = coo_from_triples(task.n_ent, task.merged_triples, n_rel=task.n_rel,
+                                   weighting=cfg.weighting)
+    w = coo_normalize(src, dst, w, task.n_ent, norm=cfg.norm)
+    hg = partition_edges(src, dst, w, task.n_ent, n_shards)
+    n_pad = hg.n_loc * n_shards
+
+    hidden = cfg.hidden or cfg.dim
+    key = jax.random.PRNGKey(cfg.seed)
+    key, ik = jax.random.split(key)
+    params = init_params(ik, n_pad, cfg.dim, hidden, cfg.highway)
+    emb_sharding = NamedSharding(mesh, P("graph", None))
+    repl = NamedSharding(mesh, P())
+    params = jax.device_put(params, repl)
+    params["emb"] = jax.device_put(params["emb"], emb_sharding)
+    hg = jax.device_put(hg, NamedSharding(mesh, P("graph")))
+
+    encode = make_encoder(mesh, hg, cfg.highway)
+    tx = optax.adam(cfg.lr)
+    opt_state = jax.device_put(tx.init(params), repl)
+
+    pairs = jax.device_put(jnp.asarray(task.train_pairs), repl)
+    n1, n = task.kg1.n_ent, task.n_ent
+
+    @jax.jit
+    def train_step(params, opt_state, neg_l, neg_r):
+        def loss_fn(p):
+            emb = encode(p, hg)
+            return margin_align_loss(emb, pairs, neg_l, neg_r, cfg.gamma)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    @jax.jit
+    def embed(params):
+        return encode(params, hg)
+
+    @jax.jit
+    def resample_hard(params):
+        emb = encode(params, hg)
+        return sample_hard_negatives(emb, pairs, n1, n, cfg.k_neg)
+
+    logger = MetricsLogger(cfg.metrics_path, config=cfg.to_dict())
+    history = []
+    neg_l = neg_r = None
+    t_start = time.perf_counter()
+    with mesh:
+        for epoch in range(cfg.epochs):
+            if epoch % cfg.neg_every == 0:
+                if cfg.neg_mode == "hard" and epoch > 0:
+                    neg_l, neg_r = resample_hard(params)
+                else:
+                    key, nk = jax.random.split(key)
+                    neg_l, neg_r = sample_uniform_negatives(nk, pairs, n1, n, cfg.k_neg)
+            params, opt_state, loss = train_step(params, opt_state, neg_l, neg_r)
+            if cfg.eval_every and (epoch % cfg.eval_every == 0 or epoch == cfg.epochs - 1):
+                m = hits_at_k(embed(params), jnp.asarray(task.test_pairs))
+                wall = time.perf_counter() - t_start
+                rec = {
+                    "epoch": epoch, "loss": float(loss), "wall_s": round(wall, 3),
+                    "edges_per_s": round(hg.nnz * 2 * (epoch + 1) / max(wall, 1e-9), 1),
+                    **{k: round(v, 4) for k, v in m.items()},
+                }
+                history.append(rec)
+                logger.log(rec)
+                if verbose:
+                    print(f"[dist:{cfg.name}@{n_shards}] epoch {epoch} loss {rec['loss']:.4f} "
+                          f"hits@1 {m['hits@1']:.3f}")
+        final = hits_at_k(embed(params), jnp.asarray(task.test_pairs))
+    final["final_loss"] = float(loss)
+    logger.close()
+    return TrainResult(params=params, metrics=final, history=history, task=task)

@@ -1,0 +1,54 @@
+"""Scatter-free ELL SpMM (the fast TPU path; see sparse/ell.py rationale).
+
+out[row] = Σ_k w[row, k] · x[idx[row, k]] per degree bucket — gathers, a
+multiply, and a dense K-axis reduction that XLA fuses with the gather; the
+only random memory traffic is the intrinsic per-edge source-row read.
+Backward uses the pre-built transpose ELL, so dx = Aᵀ g has the identical
+structure (SURVEY.md §7 hard part 2: no random scatter anywhere).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tpugraph.sparse.ell import EllMatrix, EllOperator
+
+
+def _ell_apply(m: EllMatrix, x: jax.Array) -> jax.Array:
+    """A @ x via bucketed gather + dense reduce; output in natural row order."""
+    outs = []
+    for b in m.buckets:
+        g = jnp.take(x, b.idx.reshape(-1), axis=0)  # (R*K, d) — the hot gather
+        g = g.reshape(b.idx.shape[0], b.k, x.shape[-1])
+        outs.append(jnp.einsum("rk,rkd->rd", b.w, g))
+    n_zero = m.n_rows - sum(o.shape[0] for o in outs)
+    outs.append(jnp.zeros((n_zero, x.shape[-1]), x.dtype))
+    stacked = jnp.concatenate(outs, axis=0)
+    return jnp.take(stacked, m.row_order, axis=0)
+
+
+@jax.custom_vjp
+def spmm_ell(op: EllOperator, x: jax.Array) -> jax.Array:
+    return _ell_apply(op.fwd, x)
+
+
+def _fwd(op, x):
+    return _ell_apply(op.fwd, x), op
+
+
+def _bwd(op, g):
+    dx = _ell_apply(op.bwd, g)
+    zero_op = jax.tree_util.tree_map(_zero_cot, op)
+    return zero_op, dx
+
+
+def _zero_cot(leaf):
+    import numpy as np
+
+    if jnp.issubdtype(leaf.dtype, jnp.integer):
+        return np.zeros(leaf.shape, dtype=jax.dtypes.float0)
+    return jnp.zeros_like(leaf)
+
+
+spmm_ell.defvjp(_fwd, _bwd)

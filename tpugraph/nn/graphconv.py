@@ -12,12 +12,17 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from tpugraph.kernels.spmm import spmm, spmm_xla
+from tpugraph.kernels.spmm_ell import spmm_ell
 from tpugraph.sparse.graph import SpMMOperator
 
-_IMPLS = {"sorted": spmm, "xla": spmm_xla}
+_IMPLS = {"sorted": spmm, "xla": spmm_xla, "ell": spmm_ell}
 
 
 def get_spmm_impl(name: str):
+    """Impl registry.  The operator pytree type must match the impl:
+    'sorted'/'xla' take a SpMMOperator (sorted padded edges), 'ell' takes an
+    EllOperator (sparse/ell.py) — build_adjacency(fmt=...) produces the right
+    one."""
     if name == "pallas":  # resolved lazily to avoid importing pallas off-TPU
         from tpugraph.kernels.spmm_pallas import spmm_pallas
 

@@ -179,11 +179,14 @@ def build_adjacency(
     w_min: float = 0.3,
     bucket: int = PAD_BUCKET,
     use_native: bool = True,
-) -> SpMMOperator:
-    """Full pipeline: triples → weighted, normalized, padded SpMM operator.
+    fmt: str = "sorted",  # 'sorted' (padded COO/CSR order) | 'ell' (scatter-free)
+):
+    """Full pipeline: triples → weighted, normalized, device-ready operator.
 
     Uses the native C++ builder (tpugraph/native, equivalence-tested) when a
-    toolchain is available; otherwise the numpy path below.
+    toolchain is available; otherwise the numpy path below.  ``fmt`` selects
+    the device layout: 'sorted' → SpMMOperator, 'ell' → EllOperator (must
+    match the layer's spmm impl, see nn/graphconv.py).
     """
     out = None
     if use_native:
@@ -202,6 +205,10 @@ def build_adjacency(
             self_loops=self_loops,
         )
         w = coo_normalize(src, dst, w, n_ent, norm=norm)
+    if fmt == "ell":
+        from tpugraph.sparse.ell import build_ell_operator
+
+        return build_ell_operator(src, dst, w, n_ent)
     return build_spmm_operator(src, dst, w, n_ent, bucket=bucket)
 
 

@@ -1,0 +1,131 @@
+"""Degree-bucketed ELLPACK edge layout — the scatter-free SpMM format.
+
+Motivation (measured on the v5e chip, see SURVEY.md §7 hard part 2): XLA's
+row gather runs at ~167M rows/s, but the sorted ``segment_sum`` scatter costs
+2× the gather.  TPU has no efficient scatter; it does have an efficient
+gather.  So aggregation is re-expressed as dense ops only:
+
+* rows are bucketed by degree into power-of-two-capacity buckets;
+* each bucket stores its edges as (rows, K) index/weight matrices
+  (padding slots point at row 0 with weight 0);
+* SpMM per bucket = ``take`` (the intrinsic random gather) → multiply →
+  ``reshape``/``sum`` over the K axis — no scatter anywhere;
+* per-bucket outputs are gathered back to natural row order with one final
+  N-row take (or zero-cost if the entity ids are degree-grouped already).
+
+The transpose operator gets its own ELL (bucketed by out-degree), so the
+custom VJP is also scatter-free.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class EllBucket:
+    rows: jax.Array  # (R,) int32 — natural row ids of this bucket
+    idx: jax.Array  # (R, K) int32 — source ids (pad: 0)
+    w: jax.Array  # (R, K) float32 — edge weights (pad: 0.0)
+    k: int = field(metadata=dict(static=True))
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class EllMatrix:
+    """Degree-bucketed ELL matrix; rows with degree 0 are simply absent
+    (their output rows are zero)."""
+
+    buckets: list[EllBucket]
+    row_order: jax.Array  # (N,) int32: natural row id -> position in concat output
+    n_rows: int = field(metadata=dict(static=True))
+    nnz: int = field(metadata=dict(static=True))
+
+    @property
+    def padded_edges(self) -> int:
+        return sum(int(np.prod(b.idx.shape)) for b in self.buckets)
+
+
+def _bucket_caps(max_deg: int) -> list[int]:
+    caps, k = [], 1
+    while k < max_deg:
+        caps.append(k)
+        k *= 2
+    caps.append(max(max_deg, 1))
+    return caps
+
+
+def build_ell(
+    src: np.ndarray, dst: np.ndarray, w: np.ndarray, n_rows: int
+) -> EllMatrix:
+    """COO (any order) → degree-bucketed ELL. Vectorized host-side numpy."""
+    import jax.numpy as jnp
+
+    nnz = len(src)
+    order = np.argsort(dst, kind="stable")
+    src_s, dst_s, w_s = src[order], dst[order], w[order]
+    deg = np.bincount(dst_s, minlength=n_rows)
+    starts = np.concatenate([[0], np.cumsum(deg)])
+    # position of each edge within its row
+    pos = np.arange(nnz) - starts[dst_s]
+
+    buckets = []
+    out_rows = []
+    max_deg = int(deg.max()) if nnz else 1
+    for i, cap in enumerate(_bucket_caps(max_deg)):
+        lo = _bucket_caps(max_deg)[i - 1] if i > 0 else 0
+        rows = np.where((deg > lo) & (deg <= cap))[0]
+        if len(rows) == 0:
+            continue
+        rpos = np.full(n_rows, -1, dtype=np.int64)
+        rpos[rows] = np.arange(len(rows))
+        mask = rpos[dst_s] >= 0
+        idx = np.zeros((len(rows), cap), np.int32)
+        val = np.zeros((len(rows), cap), np.float32)
+        idx[rpos[dst_s[mask]], pos[mask]] = src_s[mask]
+        val[rpos[dst_s[mask]], pos[mask]] = w_s[mask]
+        buckets.append(
+            EllBucket(rows=jnp.asarray(rows.astype(np.int32)), idx=jnp.asarray(idx),
+                      w=jnp.asarray(val), k=int(cap))
+        )
+        out_rows.append(rows)
+    # rows with degree 0 go last (their output is zero)
+    zero_rows = np.where(deg == 0)[0]
+    out_rows.append(zero_rows)
+    concat_rows = np.concatenate(out_rows) if out_rows else np.zeros(0, np.int64)
+    row_order = np.empty(n_rows, np.int64)
+    row_order[concat_rows] = np.arange(n_rows)
+    return EllMatrix(
+        buckets=buckets,
+        row_order=jnp.asarray(row_order.astype(np.int32)),
+        n_rows=int(n_rows),
+        nnz=int(nnz),
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class EllOperator:
+    """Forward (A) and transpose (Aᵀ) ELL matrices for fast fwd+bwd SpMM."""
+
+    fwd: EllMatrix
+    bwd: EllMatrix
+
+    @property
+    def n_rows(self) -> int:
+        return self.fwd.n_rows
+
+    @property
+    def nnz(self) -> int:
+        return self.fwd.nnz
+
+
+def build_ell_operator(src: np.ndarray, dst: np.ndarray, w: np.ndarray, n_rows: int) -> EllOperator:
+    return EllOperator(
+        fwd=build_ell(src, dst, w, n_rows),
+        bwd=build_ell(dst, src, w, n_rows),
+    )

@@ -1,0 +1,154 @@
+"""Edge partitioner for multi-chip graph parallelism (BASELINE.json config[4]).
+
+Contiguous entity-range partition over the 'graph' mesh axis:
+
+* shard s owns entity rows [s·Nloc, (s+1)·Nloc) and every edge whose
+  destination it owns (so aggregation is shard-local);
+* the embedding table is sharded by entity id along 'graph';
+* source entities a shard does not own ("boundary"/halo entities) are
+  exchanged with a single all-to-all before aggregation (SURVEY.md §3.4):
+  shard o sends emb_local[send_idx[o, s]] to shard s;
+* each shard's edges are split into a LOCAL-only group and a BOUNDARY group
+  so the local aggregation can overlap the in-flight exchange
+  (SURVEY.md §7 hard part 4).
+
+All shapes are static: per-shard edge counts padded to the max over shards
+(separately for local/boundary groups), halo block B padded to the max over
+(sender, receiver) pairs.  Local edge src ids are remapped into the
+"extended" local index space [0, Nloc) ∪ boundary slots
+[Nloc, Nloc + n_shards·B); the pad row is the last extended row.
+
+Host-side numpy only; the device sees stacked (n_shards, …) arrays that
+shard_map splits along the 'graph' axis.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import numpy as np
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class HaloGraph:
+    """Stacked per-shard arrays (leading axis = n_shards) for shard_map."""
+
+    # local-only edge group (src owned by the same shard), sorted by dst
+    loc_src: jax.Array  # (S, E_loc) int32 — LOCAL row index of source
+    loc_dst: jax.Array  # (S, E_loc) int32 — local dst row; pad = n_loc
+    loc_w: jax.Array  # (S, E_loc) float32
+    # boundary edge group (src arrives via halo exchange), sorted by dst
+    bnd_src: jax.Array  # (S, E_bnd) int32 — index into recv buffer [0, S*B)
+    bnd_dst: jax.Array  # (S, E_bnd) int32 — local dst row; pad = n_loc
+    bnd_w: jax.Array  # (S, E_bnd) float32
+    # halo exchange index lists
+    send_idx: jax.Array  # (S, S, B) int32 — local rows shard s sends to shard t
+    send_mask: jax.Array  # (S, S, B) float32 — 1.0 for real entries, 0.0 pad
+    n_shards: int = field(metadata=dict(static=True))
+    n_loc: int = field(metadata=dict(static=True))
+    halo_b: int = field(metadata=dict(static=True))
+    nnz: int = field(metadata=dict(static=True))
+    n_rows: int = field(metadata=dict(static=True))  # original (unpadded) N
+
+
+def partition_edges(
+    src: np.ndarray,
+    dst: np.ndarray,
+    w: np.ndarray,
+    n_rows: int,
+    n_shards: int,
+    pad_edges_to: int = 1024,
+    pad_halo_to: int = 256,
+) -> HaloGraph:
+    """COO (any order) → HaloGraph. See module docstring for the layout."""
+    import jax.numpy as jnp
+
+    n_loc = _round_up(n_rows, n_shards) // n_shards
+    owner_dst = np.minimum(dst // n_loc, n_shards - 1)
+    owner_src = np.minimum(src // n_loc, n_shards - 1)
+
+    loc_parts, bnd_parts = [], []
+    send_sets: list[list[np.ndarray]] = [[None] * n_shards for _ in range(n_shards)]
+    recv_maps = []
+    for s in range(n_shards):
+        mine = owner_dst == s
+        e_src, e_dst, e_w, e_own = src[mine], dst[mine], w[mine], owner_src[mine]
+        local = e_own == s
+        # local group: remap src to local index
+        loc_parts.append((e_src[local] - s * n_loc, e_dst[local] - s * n_loc, e_w[local]))
+        # boundary group: figure out needed remote rows per owner shard
+        b_src, b_dst, b_w, b_own = e_src[~local], e_dst[~local], e_w[~local], e_own[~local]
+        slot_of = {}
+        slots = np.empty(len(b_src), np.int64)
+        per_owner_needed: dict[int, list[int]] = {}
+        for o in range(n_shards):
+            sel = b_own == o
+            uniq, inv = np.unique(b_src[sel], return_inverse=True)
+            per_owner_needed[o] = uniq
+            slots[sel] = inv  # position within owner block, offset applied later
+        recv_maps.append(per_owner_needed)
+        bnd_parts.append((b_src, b_dst - s * n_loc, b_w, b_own, slots))
+
+    # halo block size B = max needed across (owner, receiver) pairs
+    halo_b = 1
+    for s in range(n_shards):
+        for o, uniq in recv_maps[s].items():
+            halo_b = max(halo_b, len(uniq))
+    halo_b = _round_up(halo_b, pad_halo_to)
+
+    send_idx = np.zeros((n_shards, n_shards, halo_b), np.int32)
+    send_mask = np.zeros((n_shards, n_shards, halo_b), np.float32)
+    for s in range(n_shards):  # receiver
+        for o, uniq in recv_maps[s].items():  # owner/sender
+            k = len(uniq)
+            if k:
+                send_idx[o, s, :k] = (uniq - o * n_loc).astype(np.int32)
+                send_mask[o, s, :k] = 1.0
+
+    # finalize boundary src indices: recv buffer is laid out [owner, slot]
+    e_loc = max(
+        _round_up(max((len(p[0]) for p in loc_parts), default=1), pad_edges_to), pad_edges_to
+    )
+    e_bnd = max(
+        _round_up(max((len(p[0]) for p in bnd_parts), default=1), pad_edges_to), pad_edges_to
+    )
+
+    def _pack(parts, e_max, boundary):
+        S = n_shards
+        a_src = np.zeros((S, e_max), np.int32)
+        a_dst = np.full((S, e_max), n_loc, np.int32)
+        a_w = np.zeros((S, e_max), np.float32)
+        for s, p in enumerate(parts):
+            if boundary:
+                b_src, b_dst, b_w, b_own, slots = p
+                idx = (b_own * halo_b + slots).astype(np.int64)
+                order = np.argsort(b_dst, kind="stable")
+                k = len(b_dst)
+                a_src[s, :k] = idx[order]
+                a_dst[s, :k] = b_dst[order]
+                a_w[s, :k] = b_w[order]
+            else:
+                l_src, l_dst, l_w = p
+                order = np.argsort(l_dst, kind="stable")
+                k = len(l_dst)
+                a_src[s, :k] = l_src[order]
+                a_dst[s, :k] = l_dst[order]
+                a_w[s, :k] = l_w[order]
+        return a_src, a_dst, a_w
+
+    l_src, l_dst, l_w = _pack(loc_parts, e_loc, boundary=False)
+    b_src, b_dst, b_w = _pack(bnd_parts, e_bnd, boundary=True)
+
+    return HaloGraph(
+        loc_src=jnp.asarray(l_src), loc_dst=jnp.asarray(l_dst), loc_w=jnp.asarray(l_w),
+        bnd_src=jnp.asarray(b_src), bnd_dst=jnp.asarray(b_dst), bnd_w=jnp.asarray(b_w),
+        send_idx=jnp.asarray(send_idx), send_mask=jnp.asarray(send_mask),
+        n_shards=int(n_shards), n_loc=int(n_loc), halo_b=int(halo_b),
+        nnz=int(len(src)), n_rows=int(n_rows),
+    )

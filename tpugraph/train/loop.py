@@ -86,6 +86,7 @@ def fit(
         weighting=cfg.weighting,
         norm=cfg.norm,
         bucket=cfg.pad_bucket,
+        fmt="ell" if cfg.spmm_impl == "ell" else "sorted",
     )
     model = build_model(cfg, task)
     key = jax.random.PRNGKey(cfg.seed)

@@ -44,6 +44,7 @@ def fit_mtl(cfg: TrainConfig, task: AlignTask | None = None, verbose: bool = Fal
     op = build_adjacency(
         task.n_ent, task.merged_triples, n_rel=task.n_rel,
         weighting=cfg.weighting, norm=cfg.norm, bucket=cfg.pad_bucket,
+        fmt="ell" if cfg.spmm_impl == "ell" else "sorted",
     )
     attr_all = task.merged_attr_triples
     if cfg.use_attr_head and (attr_all is None or task.n_attr == 0):
