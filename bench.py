@@ -44,6 +44,12 @@ def build_graph():
 
 def bench_jax(task) -> tuple[float, int]:
     import jax
+
+    # persistent compile cache: the remote-compile path in this environment is
+    # slow (minutes for the scanned fwd+bwd program); cache hits make repeat
+    # bench runs start in seconds
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from tpugraph.kernels.spmm_ell import spmm_ell as spmm

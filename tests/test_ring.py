@@ -1,0 +1,63 @@
+"""Ring-blockwise (ppermute) eval / k-NN / Sinkhorn ≡ single-device versions,
+on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+
+def _mesh(n=8):
+    from tpugraph.dist.mesh import make_mesh
+
+    return make_mesh(n, 1)
+
+
+def test_ring_hits_matches_blockwise_eval():
+    import jax.numpy as jnp
+
+    from tpugraph.dist.ring import ring_hits_at_k
+    from tpugraph.train.eval import hits_at_k
+
+    rng = np.random.default_rng(0)
+    n_ent, d, s = 300, 16, 83  # deliberately not divisible by 8
+    emb = jnp.asarray(rng.standard_normal((n_ent, d)).astype(np.float32))
+    pairs = np.stack([rng.choice(150, s, replace=False),
+                      150 + rng.choice(150, s, replace=False)], axis=1).astype(np.int32)
+    want = hits_at_k(emb, jnp.asarray(pairs), block_c=64)
+    got = ring_hits_at_k(emb, pairs, _mesh())
+    for k in ("hits@1", "hits@10", "mrr", "hits@1_l2r", "mrr_r2l"):
+        assert got[k] == pytest.approx(want[k], abs=1e-6), k
+
+
+def test_ring_knn_matches_blockwise():
+    import jax.numpy as jnp
+
+    from tpugraph.dist.ring import ring_knn
+    from tpugraph.train.negatives import blockwise_knn_l1
+
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((37, 8)).astype(np.float32))
+    c = jnp.asarray(rng.standard_normal((101, 8)).astype(np.float32))
+    excl = jnp.asarray(rng.integers(0, 101, 37), dtype=jnp.int32)
+    want = np.asarray(blockwise_knn_l1(q, c, excl, k=5, block_c=32))
+    got = np.asarray(ring_knn(q, c, excl, 5, _mesh()))
+    np.testing.assert_array_equal(np.sort(got, axis=1), np.sort(want, axis=1))
+
+
+def test_ring_sinkhorn_matches_dense():
+    import jax.numpy as jnp
+
+    from tpugraph.dist.ring import ring_sinkhorn_potentials
+    from tpugraph.kernels.sddmm import pairwise_dist
+    from tpugraph.kernels.sinkhorn import sinkhorn_potentials
+
+    rng = np.random.default_rng(2)
+    s, d = 45, 8  # not divisible by 8
+    l = jnp.asarray(rng.standard_normal((s, d)).astype(np.float32))
+    r = jnp.asarray(rng.standard_normal((s, d)).astype(np.float32))
+    ln = l / (jnp.linalg.norm(l, axis=-1, keepdims=True) + 1e-8)
+    rn = r / (jnp.linalg.norm(r, axis=-1, keepdims=True) + 1e-8)
+    cost = pairwise_dist(ln, rn, metric="sqeuclidean", block_q=16)
+    f_want, g_want = sinkhorn_potentials(cost, tau=0.1, n_iters=25)
+    f_got, g_got = ring_sinkhorn_potentials(l, r, _mesh(), tau=0.1, n_iters=25)
+    np.testing.assert_allclose(np.asarray(f_got), np.asarray(f_want), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want), rtol=1e-4, atol=1e-5)

@@ -39,11 +39,14 @@ def halo_spmm(
     n_loc, d = x_local.shape
     s, b = send_idx.shape
     # 1. halo exchange: one tiled all_to_all over ICI
-    send = jnp.take(x_local, send_idx.reshape(-1), axis=0).reshape(s, b, d)
-    send = send * send_mask[:, :, None]
-    recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0, tiled=True)
+    with jax.named_scope("halo_a2a"):
+        send = jnp.take(x_local, send_idx.reshape(-1), axis=0).reshape(s, b, d)
+        send = send * send_mask[:, :, None]
+        recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0, tiled=True)
     # 2. local aggregation — no data dependence on `recv`; overlaps the exchange
-    out = _segsum(loc_w, x_local, loc_src, loc_dst, n_loc)
+    with jax.named_scope("spmm_local"):
+        out = _segsum(loc_w, x_local, loc_src, loc_dst, n_loc)
     # 3. boundary aggregation from the received halo rows
-    out = out + _segsum(bnd_w, recv.reshape(s * b, d), bnd_src, bnd_dst, n_loc)
+    with jax.named_scope("spmm_boundary"):
+        out = out + _segsum(bnd_w, recv.reshape(s * b, d), bnd_src, bnd_dst, n_loc)
     return out

@@ -1,0 +1,91 @@
+"""Worker for the multi-process jax.distributed localhost test.
+
+Two processes × 4 virtual CPU devices = one 8-device global mesh spanning
+process boundaries; runs the halo-exchange SpMM forward and checks a psum
+checksum against the dense oracle.  Exercises exactly the code path a real
+multi-host pod run uses: ``jax.distributed.initialize`` (DCN rendezvous) +
+cross-process XLA collectives (SURVEY.md §5.8).
+
+Usage (spawned by tests/test_multiprocess.py):
+    python -m tpugraph.dist.mp_worker <coordinator> <num_procs> <proc_id>
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+
+def main():
+    coordinator, num_procs, proc_id = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
+    ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=coordinator, num_processes=num_procs, process_id=proc_id
+    )
+    assert jax.device_count() == 4 * num_procs, jax.device_count()
+
+    from functools import partial
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import shard_map
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from tpugraph.dist.halo import halo_spmm
+    from tpugraph.sparse.build import coo_from_triples, coo_normalize, coo_to_dense
+    from tpugraph.sparse.partition import HaloGraph, partition_edges
+
+    n_shards = 4 * num_procs
+    rng = np.random.default_rng(0)
+    n, t = 96, 400
+    h = rng.integers(0, n, t)
+    tt = rng.integers(0, n, t)
+    keep = h != tt
+    tri = np.stack([h[keep], rng.integers(0, 5, keep.sum()), tt[keep]], axis=1)
+    src, dst, w = coo_from_triples(n, tri, weighting="uniform")
+    w = coo_normalize(src, dst, w, n, "sym")
+    hg_host = partition_edges(src, dst, w, n, n_shards)
+    n_pad = hg_host.n_loc * n_shards
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(n_shards, 1), ("graph", "feature"))
+    x = np.zeros((n_pad, 8), np.float32)
+    x[:n] = rng.standard_normal((n, 8)).astype(np.float32)
+    xg = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("graph", None)))
+    hg = jax.device_put(hg_host, NamedSharding(mesh, P("graph")))
+
+    g = P("graph")
+    spec_tree = HaloGraph(
+        loc_src=g, loc_dst=g, loc_w=g, bnd_src=g, bnd_dst=g, bnd_w=g,
+        send_idx=g, send_mask=g, n_shards=hg_host.n_shards, n_loc=hg_host.n_loc,
+        halo_b=hg_host.halo_b, nnz=hg_host.nnz, n_rows=hg_host.n_rows,
+    )
+
+    @partial(shard_map, mesh=mesh, in_specs=(P("graph", None), spec_tree), out_specs=P())
+    def checksum(x_local, hgs):
+        out = halo_spmm(
+            x_local,
+            hgs.loc_src.reshape(-1), hgs.loc_dst.reshape(-1), hgs.loc_w.reshape(-1),
+            hgs.bnd_src.reshape(-1), hgs.bnd_dst.reshape(-1), hgs.bnd_w.reshape(-1),
+            hgs.send_idx.reshape(hgs.n_shards, hgs.halo_b),
+            hgs.send_mask.reshape(hgs.n_shards, hgs.halo_b),
+        )
+        return jax.lax.psum(jnp.sum(out * out), "graph")
+
+    with mesh:
+        got = float(jax.jit(checksum)(xg, hg))
+    a = coo_to_dense(src, dst, w, n, n)
+    want = float(((a @ x[:n]) ** 2).sum())
+    rel = abs(got - want) / max(abs(want), 1e-9)
+    assert rel < 1e-5, f"proc {proc_id}: checksum {got} vs {want} (rel {rel})"
+    print(f"MP_OK proc={proc_id} checksum={got:.4f}")
+    jax.distributed.shutdown()
+
+
+if __name__ == "__main__":
+    main()

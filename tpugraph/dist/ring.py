@@ -1,0 +1,256 @@
+"""Ring-blockwise pairwise computations over the 'graph' mesh axis
+(SURVEY.md §5.7 — this model family's sequence-parallelism analog).
+
+The quadratic objects (eval rank counts, k-NN hard negatives, the Sinkhorn
+cost matrix) are never materialized: both entity sets are sharded across the
+ring; each step computes one (Q_blk × C_blk) distance tile, folds it into a
+running reduction (count / top-k / log-sum-exp), then rotates the candidate
+shard with ``ppermute`` — structurally identical to ring attention with the
+softmax replaced by the respective reduction.
+
+All functions here are shard_map bodies operating on per-device blocks; the
+public wrappers pad, shard, launch, and unpad.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from tpugraph.train.losses import pairwise_l1
+
+
+def _ring_perm(axis: str):
+    s = jax.lax.axis_size(axis)
+    return [(j, (j + 1) % s) for j in range(s)]
+
+
+# ---------------------------------------------------------------- rank counts
+def _ring_ranks_body(q, cand, d_true, axis: str):
+    """q, cand: (B, d) local blocks; d_true: (B,). Counts strictly-closer
+    candidates across the whole ring."""
+    s = jax.lax.axis_size(axis)
+
+    def body(i, carry):
+        acc, cand = carry
+        d = pairwise_l1(q[:, None, :], cand[None, :, :])
+        acc = acc + jnp.sum(d < d_true[:, None], axis=1)
+        cand = jax.lax.ppermute(cand, axis, perm=_ring_perm(axis))
+        return acc, cand
+
+    init = jax.lax.pvary(jnp.zeros(q.shape[0], jnp.int32), (axis,))
+    acc, _ = jax.lax.fori_loop(0, s, body, (init, cand))
+    return acc
+
+
+def ring_hits_at_k(
+    emb: jnp.ndarray,
+    test_pairs,
+    mesh,
+    ks: tuple[int, ...] = (1, 10),
+    axis: str = "graph",
+) -> dict[str, float]:
+    """Both-direction Hits@k/MRR with ring-rotated candidate shards.
+
+    Semantics match train.eval.hits_at_k exactly (incl. padding rows, which
+    are masked by +inf true-distance so they never count)."""
+    s_mesh = mesh.shape[axis]
+    pairs = np.asarray(test_pairs)
+    n = pairs.shape[0]
+    n_pad = ((n + s_mesh - 1) // s_mesh) * s_mesh
+    l = jnp.take(emb, jnp.asarray(pairs[:, 0]), axis=0)
+    r = jnp.take(emb, jnp.asarray(pairs[:, 1]), axis=0)
+    d_true = pairwise_l1(l, r)
+    pad = n_pad - n
+    if pad:
+        big = jnp.full((pad, l.shape[1]), 1e30, l.dtype)
+        l = jnp.concatenate([l, big])
+        r = jnp.concatenate([r, -big])  # far from everything
+        d_true = jnp.concatenate([d_true, jnp.full((pad,), -1.0, d_true.dtype)])
+        # d_true=-1 → no candidate is strictly closer; padding rows rank 0 but
+        # are sliced off before metrics below.
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(axis, None), P(axis, None), P(axis)),
+             out_specs=P(axis))
+    def ranks_fn(q, cand, dt):
+        return _ring_ranks_body(q, cand, dt, axis)
+
+    out = {}
+    with mesh:
+        for tag, q, cand in (("l2r", l, r), ("r2l", r, l)):
+            ranks = np.asarray(ranks_fn(q, cand, d_true))[:n]
+            for k in ks:
+                out[f"hits@{k}_{tag}"] = float(np.mean(ranks < k))
+            out[f"mrr_{tag}"] = float(np.mean(1.0 / (ranks.astype(np.float64) + 1.0)))
+    for k in ks:
+        out[f"hits@{k}"] = 0.5 * (out[f"hits@{k}_l2r"] + out[f"hits@{k}_r2l"])
+    out["mrr"] = 0.5 * (out["mrr_l2r"] + out["mrr_r2l"])
+    return out
+
+
+# ------------------------------------------------------------ k-NN negatives
+def _ring_topk_body(q, cand, exclude_global, cand_offset0, k, axis: str):
+    """Running smallest-k over ring-rotated candidate blocks.
+
+    exclude_global: (B,) global candidate index to skip (true partner).
+    cand_offset0: scalar — global offset of the LOCAL candidate block; each
+    rotation's offset is derived from the source device of the current block.
+    """
+    s = jax.lax.axis_size(axis)
+    me = jax.lax.axis_index(axis)
+    b = cand.shape[0]
+
+    def body(i, carry):
+        vals, idxs, cand = carry
+        src_dev = (me - i) % s  # who originally owned the block we now hold
+        off = cand_offset0 + (src_dev - me) * b
+        d = pairwise_l1(q[:, None, :], cand[None, :, :]).astype(jnp.float32)
+        gidx = off + jax.lax.broadcasted_iota(jnp.int32, (q.shape[0], b), 1)
+        d = jnp.where(gidx == exclude_global[:, None], jnp.inf, d)
+        allv = jnp.concatenate([vals, d], axis=1)
+        alli = jnp.concatenate([idxs, gidx], axis=1)
+        negtop, pos = jax.lax.top_k(-allv, k)
+        vals = -negtop
+        idxs = jnp.take_along_axis(alli, pos, axis=1)
+        cand = jax.lax.ppermute(cand, axis, perm=_ring_perm(axis))
+        return vals, idxs, cand
+
+    vals = jax.lax.pvary(jnp.full((q.shape[0], k), jnp.inf, jnp.float32), (axis,))
+    idxs = jax.lax.pvary(jnp.zeros((q.shape[0], k), jnp.int32), (axis,))
+    vals, idxs, _ = jax.lax.fori_loop(0, s, body, (vals, idxs, cand))
+    return idxs
+
+
+def ring_knn(
+    q: jnp.ndarray,  # (Q, d) queries (replicated)
+    cands: jnp.ndarray,  # (C, d) candidate pool (replicated; sharded inside)
+    exclude: jnp.ndarray,  # (Q,) candidate index to exclude
+    k: int,
+    mesh,
+    axis: str = "graph",
+) -> jnp.ndarray:
+    """Global k-NN indices into cands, computed ring-blockwise."""
+    s_mesh = mesh.shape[axis]
+    qn, d = q.shape
+    c = cands.shape[0]
+    q_pad = ((qn + s_mesh - 1) // s_mesh) * s_mesh
+    c_pad = ((c + s_mesh - 1) // s_mesh) * s_mesh
+    if q_pad != qn:
+        q = jnp.concatenate([q, jnp.zeros((q_pad - qn, d), q.dtype)])
+        exclude = jnp.concatenate([exclude, jnp.full((q_pad - qn,), -1, exclude.dtype)])
+    if c_pad != c:
+        cands = jnp.concatenate([cands, jnp.full((c_pad - c, d), 1e30, cands.dtype)])
+    b = c_pad // s_mesh
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(axis, None), P(axis, None), P(axis)),
+             out_specs=P(axis, None))
+    def knn_fn(qb, cb, ex):
+        me = jax.lax.axis_index(axis)
+        return _ring_topk_body(qb, cb, ex, me * b, k, axis)
+
+    with mesh:
+        idxs = knn_fn(q, cands, exclude)
+    return idxs[:qn]
+
+
+# ------------------------------------------------------------- ring Sinkhorn
+def _lse_merge(m1, s1, m2, s2):
+    """Merge two (max, sumexp) partial log-sum-exp states."""
+    m = jnp.maximum(m1, m2)
+    s = s1 * jnp.exp(m1 - m) + s2 * jnp.exp(m2 - m)
+    return m, s
+
+
+def ring_sinkhorn_potentials(
+    l: jnp.ndarray,  # (S, d) left seed embeddings (replicated in)
+    r: jnp.ndarray,  # (S, d) right seed embeddings
+    mesh,
+    tau: float = 0.05,
+    n_iters: int = 20,
+    axis: str = "graph",
+):
+    """Log-domain Sinkhorn with the cost matrix computed tile-by-tile around
+    the ring (never materialized globally): each f-update streams candidate
+    blocks past each query block with a running log-sum-exp, exactly the
+    flash/ring-attention accumulation; the g-update is the mirrored pass.
+
+    Returns (f, g) potentials, full length, replicated.  Cost metric:
+    squared euclidean on L2-normalized embeddings (matches train/ot.py).
+    """
+    s_mesh = mesh.shape[axis]
+    n = l.shape[0]
+    n_pad = ((n + s_mesh - 1) // s_mesh) * s_mesh
+    d = l.shape[1]
+
+    l = l / (jnp.linalg.norm(l, axis=-1, keepdims=True) + 1e-8)
+    r = r / (jnp.linalg.norm(r, axis=-1, keepdims=True) + 1e-8)
+    pad = n_pad - n
+    if pad:
+        # padding rows get +inf cost against everything via a mask vector
+        l = jnp.concatenate([l, jnp.zeros((pad, d), l.dtype)])
+        r = jnp.concatenate([r, jnp.zeros((pad, d), r.dtype)])
+    valid = jnp.concatenate([jnp.ones(n), jnp.zeros(pad)]).astype(jnp.float32)
+    log_mass = -np.log(n)
+
+    def cost_tile(a, b):
+        d2 = (
+            jnp.sum(a * a, -1)[:, None]
+            + jnp.sum(b * b, -1)[None, :]
+            - 2.0 * jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+        )
+        return jnp.maximum(d2, 0.0)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(axis, None), P(axis, None), P(axis), P(axis)),
+             out_specs=(P(axis), P(axis)))
+    def solve(lb, rb, vq, vc):
+        s = jax.lax.axis_size(axis)
+        me = jax.lax.axis_index(axis)
+        bq = lb.shape[0]
+        f = jax.lax.pvary(jnp.zeros((bq,), jnp.float32), (axis,))
+        g = jax.lax.pvary(jnp.zeros((bq,), jnp.float32), (axis,))
+
+        def lse_ring(qblk, f_or_g_other, other_valid, other_blk):
+            """running LSE_j [(pot_j − C(q, j))/τ] over the rotated other side."""
+            m0 = jax.lax.pvary(jnp.full((bq,), -jnp.inf, jnp.float32), (axis,))
+            s0 = jax.lax.pvary(jnp.zeros((bq,), jnp.float32), (axis,))
+
+            def body(i, carry):
+                m, sacc, pot, val, blk = carry
+                c = cost_tile(qblk, blk)
+                z = (pot[None, :] - c) / tau + jnp.log(val)[None, :]  # mask pads
+                m2 = jnp.max(z, axis=1)
+                s2 = jnp.sum(jnp.exp(z - m2[:, None]), axis=1)
+                m, sacc = _lse_merge(m, sacc, m2, s2)
+                perm = _ring_perm(axis)
+                pot = jax.lax.ppermute(pot, axis, perm=perm)
+                val = jax.lax.ppermute(val, axis, perm=perm)
+                blk = jax.lax.ppermute(blk, axis, perm=perm)
+                return m, sacc, pot, val, blk
+
+            m, sacc, *_ = jax.lax.fori_loop(
+                0, s, body, (m0, s0, f_or_g_other, other_valid, other_blk)
+            )
+            return m + jnp.log(jnp.maximum(sacc, 1e-38))
+
+        def iter_body(_, fg):
+            f, g = fg
+            f = tau * (log_mass - lse_ring(lb, g, vc, rb))
+            f = jnp.where(vq > 0, f, 0.0)  # keep pad potentials finite (masked via log(val))
+            g = tau * (log_mass - lse_ring(rb, f, vq, lb))
+            g = jnp.where(vc > 0, g, 0.0)
+            return f, g
+
+        f, g = jax.lax.fori_loop(0, n_iters, iter_body, (f, g))
+        return f, g
+
+    with mesh:
+        f, g = solve(l, r, valid, valid)
+    return f[:n], g[:n]

@@ -161,6 +161,14 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
         emb = encode(params, hg)
         return sample_hard_negatives(emb, pairs, n1, n, cfg.k_neg)
 
+    def dist_eval(params):
+        """Ring-blockwise eval (SURVEY.md §5.7) when actually sharded."""
+        if n_shards > 1:
+            from tpugraph.dist.ring import ring_hits_at_k
+
+            return ring_hits_at_k(embed(params), task.test_pairs, mesh)
+        return hits_at_k(embed(params), jnp.asarray(task.test_pairs))
+
     logger = MetricsLogger(cfg.metrics_path, config=cfg.to_dict())
     history = []
     neg_l = neg_r = None
@@ -175,7 +183,7 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
                     neg_l, neg_r = sample_uniform_negatives(nk, pairs, n1, n, cfg.k_neg)
             params, opt_state, loss = train_step(params, opt_state, neg_l, neg_r)
             if cfg.eval_every and (epoch % cfg.eval_every == 0 or epoch == cfg.epochs - 1):
-                m = hits_at_k(embed(params), jnp.asarray(task.test_pairs))
+                m = dist_eval(params)
                 wall = time.perf_counter() - t_start
                 rec = {
                     "epoch": epoch, "loss": float(loss), "wall_s": round(wall, 3),
@@ -187,7 +195,7 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
                 if verbose:
                     print(f"[dist:{cfg.name}@{n_shards}] epoch {epoch} loss {rec['loss']:.4f} "
                           f"hits@1 {m['hits@1']:.3f}")
-        final = hits_at_k(embed(params), jnp.asarray(task.test_pairs))
+        final = dist_eval(params)
     final["final_loss"] = float(loss)
     logger.close()
     return TrainResult(params=params, metrics=final, history=history, task=task)

@@ -1,0 +1,64 @@
+"""Orbax checkpoint/resume (SURVEY.md §5.3/§5.4: crash-only design).
+
+The trainer is deterministic given (config, epoch): negative-sampling keys
+are derived by ``fold_in(base_key, epoch)``, so restoring {params, opt_state,
+epoch} reproduces the uninterrupted trajectory exactly (kill-and-resume test
+in tests/test_checkpoint.py).  Sharded arrays save/restore per-host via
+Orbax; restoring onto a different mesh works through Orbax resharding.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+
+
+def _manager(directory: str):
+    import orbax.checkpoint as ocp
+
+    return ocp.CheckpointManager(
+        os.path.abspath(directory),
+        options=ocp.CheckpointManagerOptions(max_to_keep=3, create=True),
+    )
+
+
+class Checkpointer:
+    """Thin step-scoped wrapper; ``enabled=False`` makes every call a no-op."""
+
+    def __init__(self, directory: str | None, every: int = 0):
+        self.enabled = bool(directory) and every > 0
+        self.every = every
+        self._mgr = _manager(directory) if self.enabled else None
+
+    def maybe_save(self, epoch: int, state: dict, force: bool = False):
+        if not self.enabled:
+            return
+        if force or (epoch > 0 and epoch % self.every == 0):
+            import orbax.checkpoint as ocp
+
+            self._mgr.save(epoch, args=ocp.args.StandardSave(state))
+
+    def restore_latest(self, abstract_state: dict) -> tuple[int, Any] | None:
+        """Returns (epoch, state) of the newest checkpoint, or None."""
+        if not self.enabled:
+            return None
+        step = self._mgr.latest_step()
+        if step is None:
+            return None
+        import orbax.checkpoint as ocp
+
+        state = self._mgr.restore(step, args=ocp.args.StandardRestore(abstract_state))
+        return step, state
+
+    def close(self):
+        if self._mgr is not None:
+            self._mgr.wait_until_finished()
+            self._mgr.close()
+
+
+def abstract_like(tree):
+    return jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype) if hasattr(x, "shape") else x, tree
+    )

@@ -89,9 +89,8 @@ def fit(
         fmt="ell" if cfg.spmm_impl == "ell" else "sorted",
     )
     model = build_model(cfg, task)
-    key = jax.random.PRNGKey(cfg.seed)
-    key, init_key = jax.random.split(key)
-    params = model.init(init_key, op)["params"]
+    base_key = jax.random.PRNGKey(cfg.seed)
+    params = model.init(jax.random.fold_in(base_key, 2**30), op)["params"]
 
     tx = optax.adam(cfg.lr)
     opt_state = tx.init(params)
@@ -125,19 +124,41 @@ def fit(
     def embed(params):
         return model.apply({"params": params}, op)
 
+    from tpugraph.train.checkpoint import Checkpointer, abstract_like
+
+    ckpt = Checkpointer(cfg.checkpoint_dir, cfg.checkpoint_every)
+    start_epoch = 0
+    state = {"params": params, "opt_state": opt_state}
+    restored = ckpt.restore_latest(abstract_like(state))
+    if restored is not None:
+        start_epoch, state = restored
+        start_epoch += 1
+        params, opt_state = state["params"], state["opt_state"]
+
     logger = MetricsLogger(cfg.metrics_path, config=cfg.to_dict())
     history = []
     neg_l = neg_r = None
     nnz = op.fwd.nnz
+    loss = jnp.nan
     t_start = time.perf_counter()
-    for epoch in range(cfg.epochs):
-        if epoch % cfg.neg_every == 0:
+    for epoch in range(start_epoch, cfg.epochs):
+        if epoch % cfg.neg_every == 0 or neg_l is None:
+            # keys derived from (seed, epoch): deterministic across restarts
+            # and identical on every host (SURVEY.md §7 hard part 6)
             if cfg.neg_mode == "hard" and epoch > 0:
                 neg_l, neg_r = resample_hard(params)
             else:
-                key, nk = jax.random.split(key)
+                # key pinned to the interval's boundary epoch so a resume
+                # mid-interval reproduces the same negatives
+                nk = jax.random.fold_in(base_key, epoch - epoch % cfg.neg_every)
                 neg_l, neg_r = sample_uniform_negatives(nk, pairs, n1, n, cfg.k_neg)
+        if cfg.profile_dir and epoch == start_epoch + 2:
+            jax.profiler.start_trace(cfg.profile_dir)
         params, opt_state, loss, aux = train_step(params, opt_state, neg_l, neg_r)
+        if cfg.profile_dir and epoch == start_epoch + 5:
+            jax.block_until_ready(loss)
+            jax.profiler.stop_trace()
+        ckpt.maybe_save(epoch, {"params": params, "opt_state": opt_state})
         if cfg.eval_every and (epoch % cfg.eval_every == 0 or epoch == cfg.epochs - 1):
             m = hits_at_k(embed(params), jnp.asarray(task.test_pairs))
             wall = time.perf_counter() - t_start
