@@ -1,0 +1,68 @@
+"""Measure the accuracy baseline: torch-CPU parity oracle vs tpugraph trainer
+on the pinned benchmark task (BASELINE.md "parity-oracle" row).
+
+The reference published no numbers (BASELINE.md), so the oracle's measured
+Hits@1/@10 ARE the baseline; the TPU-native framework must match them on the
+same task + hyperparameters.  Run:
+
+    python scripts/baseline_parity.py [--scale small|dbp5k]
+
+Prints one JSON line per system and a final comparison line.
+"""
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+SCALES = {
+    # quick smoke (CI-sized)
+    "small": dict(n_ent=1500, n_rel=30, n_triples=6000, seed=42),
+    # the pinned baseline task: DBP15K-shaped at 5k entities/side
+    "dbp5k": dict(n_ent=5000, n_rel=60, n_triples=15000, seed=42),
+}
+HP = dict(dim=128, epochs=400, lr=2e-3, gamma=10.0, k_neg=50, neg_every=5)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", default="dbp5k", choices=sorted(SCALES))
+    ap.add_argument("--skip-oracle", action="store_true")
+    args = ap.parse_args()
+
+    from tpugraph.data.synthetic import synthetic_align_task
+
+    task = synthetic_align_task(drop_frac=0.1, noise_frac=0.1, **SCALES[args.scale])
+
+    results = {}
+    if not args.skip_oracle:
+        from tpugraph.parity.torch_ref import train_oracle
+
+        _, m = train_oracle(task, neg_mode="hard", **HP)
+        results["torch_oracle"] = m
+        print(json.dumps({"system": "torch_oracle_cpu", "scale": args.scale,
+                          **{k: round(v, 4) for k, v in m.items()}}), flush=True)
+
+    from tpugraph.configs import get_config
+    from tpugraph.train.loop import fit
+
+    cfg = get_config("base", neg_mode="hard", eval_every=100, **HP)
+    res = fit(cfg, task=task)
+    results["tpugraph"] = res.metrics
+    print(json.dumps({"system": "tpugraph", "scale": args.scale,
+                      **{k: round(v, 4) for k, v in res.metrics.items()}}), flush=True)
+
+    if "torch_oracle" in results:
+        a, b = results["torch_oracle"], results["tpugraph"]
+        print(json.dumps({
+            "comparison": {
+                k: {"oracle": round(a[k], 4), "tpugraph": round(b[k], 4),
+                    "delta": round(b[k] - a[k], 4)}
+                for k in ("hits@1", "hits@10", "mrr")
+            }
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

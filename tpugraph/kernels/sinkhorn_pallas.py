@@ -1,0 +1,140 @@
+"""Pallas fused SDDMM-distance + Sinkhorn-update kernel (BASELINE config[2]:
+"fused SDDMM distance + OT iterations on device").
+
+The Sinkhorn f-update
+
+    f_i = τ·(log μ_i − LSE_j[(g_j − C_ij)/τ])      C_ij = ‖l_i − r_j‖²
+
+is flash-attention-shaped: stream r-tiles past each l-tile, compute the cost
+tile on the MXU (‖l‖² + ‖r‖² − 2·l·rᵀ), fold into a running (max, sumexp)
+accumulator, never writing C to HBM.  One kernel evaluates one potential
+update; the solver alternates f/g by swapping arguments.  fp32 accumulators
+throughout (SURVEY.md §7 hard part 5).
+
+Grid: (q_blocks, c_blocks) with the c axis innermost; the accumulators live
+in VMEM scratch and are finalized on the last c-step.  Falls back to
+interpret mode off-TPU (tests), and the pure-XLA solver in
+kernels/sinkhorn.py remains the permanent fallback.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _f_update_kernel(l_ref, r_ref, g_ref, logm_ref, out_ref, m_scr, s_scr, *, tau, n_valid_c):
+    ci = pl.program_id(1)
+    nc = pl.num_programs(1)
+
+    @pl.when(ci == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        s_scr[:] = jnp.zeros_like(s_scr)
+
+    l = l_ref[:]  # (BQ, d)
+    r = r_ref[:]  # (BC, d)
+    g = g_ref[:]  # (BC,) potentials for this candidate tile — as (BC, 1)? kept 2D below
+    # cost tile on MXU
+    l2 = jnp.sum(l * l, axis=1, keepdims=True)  # (BQ, 1)
+    r2 = jnp.sum(r * r, axis=1, keepdims=True).T  # (1, BC)
+    c = l2 + r2 - 2.0 * jnp.dot(l, r.T, preferred_element_type=jnp.float32)
+    c = jnp.maximum(c, 0.0)
+    z = (g.reshape(1, -1) - c) / tau  # (BQ, BC)
+    # mask out padded candidate columns (global col index >= n_valid_c)
+    bc = z.shape[1]
+    col = ci * bc + jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
+    z = jnp.where(col < n_valid_c, z, -jnp.inf)
+
+    m_new = jnp.maximum(m_scr[:], jnp.max(z, axis=1, keepdims=True))
+    # guard: rows where everything so far is -inf keep m=-inf, exp(-inf - -inf)
+    # would be nan; use where to zero those terms
+    safe_m = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+    s_scale = jnp.where(jnp.isfinite(m_scr[:]), jnp.exp(m_scr[:] - safe_m), 0.0)
+    s_new = s_scr[:] * s_scale + jnp.sum(
+        jnp.where(jnp.isfinite(z), jnp.exp(z - safe_m), 0.0), axis=1, keepdims=True
+    )
+    m_scr[:] = m_new
+    s_scr[:] = s_new
+
+    @pl.when(ci == nc - 1)
+    def _():
+        lse = safe_m + jnp.log(jnp.maximum(s_scr[:], 1e-38))
+        out_ref[:] = tau * (logm_ref[:] - lse)
+
+
+def sinkhorn_potential_update(
+    l: jnp.ndarray,  # (Q, d) query-side embeddings (L2-normalized by caller)
+    r: jnp.ndarray,  # (C, d) candidate-side embeddings
+    g: jnp.ndarray,  # (C,) current candidate potentials
+    log_mu: jnp.ndarray,  # (Q,) log marginal of the query side
+    tau: float,
+    block_q: int = 256,
+    block_c: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One fused f-update. Returns (Q,) new query potentials."""
+    q, d = l.shape
+    c = r.shape[0]
+    q_pad = ((q + block_q - 1) // block_q) * block_q
+    c_pad = ((c + block_c - 1) // block_c) * block_c
+    lp = jnp.zeros((q_pad, d), jnp.float32).at[:q].set(l.astype(jnp.float32))
+    rp = jnp.zeros((c_pad, d), jnp.float32).at[:c].set(r.astype(jnp.float32))
+    gp = jnp.zeros((c_pad, 1), jnp.float32).at[:c, 0].set(g.astype(jnp.float32))
+    lmp = jnp.zeros((q_pad, 1), jnp.float32).at[:q, 0].set(log_mu.astype(jnp.float32))
+
+    grid = (q_pad // block_q, c_pad // block_c)
+    out = pl.pallas_call(
+        functools.partial(_f_update_kernel, tau=tau, n_valid_c=c),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_q, d), lambda qi, ci: (qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_c, d), lambda qi, ci: (ci, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_c, 1), lambda qi, ci: (ci, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, 1), lambda qi, ci: (qi, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_q, 1), lambda qi, ci: (qi, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((q_pad, 1), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(lp, rp, gp, lmp)
+    return out[:q, 0]
+
+
+def sinkhorn_potentials_pallas(
+    cost_l: jnp.ndarray,  # (N, d) left embeddings (normalized)
+    cost_r: jnp.ndarray,  # (M, d) right embeddings (normalized)
+    tau: float = 0.05,
+    n_iters: int = 20,
+    block_q: int = 256,
+    block_c: int = 512,
+    interpret: bool = False,
+):
+    """Full solver: alternate fused f/g updates. Matches
+    kernels.sinkhorn.sinkhorn_potentials on cost = sqeuclidean(l, r)."""
+    n, m = cost_l.shape[0], cost_r.shape[0]
+    log_mu = jnp.full((n,), -np.log(n), jnp.float32)
+    log_nu = jnp.full((m,), -np.log(m), jnp.float32)
+    f = jnp.zeros((n,), jnp.float32)
+    g = jnp.zeros((m,), jnp.float32)
+    upd = functools.partial(
+        sinkhorn_potential_update, tau=tau, block_q=block_q, block_c=block_c,
+        interpret=interpret,
+    )
+
+    def step(carry, _):
+        f, g = carry
+        f = upd(cost_l, cost_r, g, log_mu)
+        g = upd(cost_r, cost_l, f, log_nu)
+        return (f, g), None
+
+    (f, g), _ = jax.lax.scan(step, (f, g), None, length=n_iters)
+    return f, g
