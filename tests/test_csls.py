@@ -1,0 +1,50 @@
+"""CSLS-corrected eval vs a dense numpy reference."""
+
+import numpy as np
+
+
+def _np_csls_hits(emb, pairs, k_csls=10, ks=(1, 10)):
+    from scipy.spatial.distance import cdist
+
+    l, r = emb[pairs[:, 0]], emb[pairs[:, 1]]
+    d = cdist(l, r, metric="cityblock")
+    rl = np.sort(d, axis=1)[:, :k_csls].mean(1)  # left hubness (to right pool)
+    rr = np.sort(d, axis=0)[:k_csls, :].mean(0)  # right hubness (to left pool)
+    out = {}
+    for tag, dm, corr_cand, corr_q in (("l2r", d, rr, rl), ("r2l", d.T, rl, rr)):
+        score = 2 * dm - corr_cand[None, :]  # query term constant per row
+        ranks = (score < np.diagonal(score)[:, None]).sum(1)
+        for k in ks:
+            out[f"hits@{k}_{tag}"] = float((ranks < k).mean())
+    return out
+
+
+def test_csls_matches_dense_numpy():
+    import jax.numpy as jnp
+
+    from tpugraph.train.eval import hits_at_k
+
+    rng = np.random.default_rng(0)
+    n, d, s = 200, 12, 70
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    pairs = np.stack([rng.choice(100, s, replace=False),
+                      100 + rng.choice(100, s, replace=False)], 1).astype(np.int32)
+    want = _np_csls_hits(emb, pairs, k_csls=5)
+    got = hits_at_k(jnp.asarray(emb), jnp.asarray(pairs), block_c=64, csls_k=5)
+    import pytest
+
+    for key in ("hits@1_l2r", "hits@10_l2r", "hits@1_r2l", "hits@10_r2l"):
+        assert got[key] == pytest.approx(want[key], abs=1e-6), key
+
+
+def test_csls_zero_is_plain_eval():
+    import jax.numpy as jnp
+
+    from tpugraph.train.eval import hits_at_k
+
+    rng = np.random.default_rng(1)
+    emb = rng.standard_normal((80, 8)).astype(np.float32)
+    pairs = np.stack([np.arange(30), 40 + np.arange(30)], 1).astype(np.int32)
+    a = hits_at_k(jnp.asarray(emb), jnp.asarray(pairs), block_c=16)
+    b = hits_at_k(jnp.asarray(emb), jnp.asarray(pairs), block_c=16, csls_k=0)
+    assert a == b

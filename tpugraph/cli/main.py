@@ -68,6 +68,17 @@ def main(argv=None):
             overrides[k] = flag
     cfg = cfg.replace(**overrides)
 
+    # This environment's sitecustomize pre-imports jax with a pinned platform;
+    # re-apply the user's JAX_PLATFORMS so `JAX_PLATFORMS=cpu python -m ...`
+    # behaves as documented.
+    import os
+
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat.split(",")[0])
+
     from tpugraph.train.driver import run  # deferred: jax import is slow
 
     result = run(cfg, verbose=not args.quiet)

@@ -61,6 +61,7 @@ class TrainConfig:
 
     # --- optimization ---
     epochs: int = 400
+    eval_csls_k: int = 0  # >0: CSLS hubness-corrected ranking
     lr: float = 2e-3
     seed: int = 0
     eval_every: int = 100

@@ -22,8 +22,49 @@ from tpugraph.train.losses import pairwise_l1
 
 
 @partial(jax.jit, static_argnames=("block_c",))
-def _ranks_l1(q: jnp.ndarray, cands: jnp.ndarray, d_true: jnp.ndarray, block_c: int = 1024):
-    """For each query, count candidates strictly closer than its true match."""
+def _ranks_l1(
+    q: jnp.ndarray,
+    cands: jnp.ndarray,
+    d_true: jnp.ndarray,
+    block_c: int = 1024,
+    cand_corr: jnp.ndarray | None = None,
+    true_corr: jnp.ndarray | None = None,
+):
+    """For each query, count candidates strictly closer than its true match.
+
+    With (cand_corr, true_corr) this computes CSLS-adjusted ranks: candidate
+    j's score is 2·d(q,j) − cand_corr[j], compared against 2·d_true − true_corr
+    (the query-side hubness term cancels within a row)."""
+    s, d = q.shape
+    c = cands.shape[0]
+    c_pad = ((c + block_c - 1) // block_c) * block_c
+    cands_p = jnp.concatenate(
+        [cands, jnp.full((c_pad - c, d), jnp.inf, dtype=cands.dtype)], axis=0
+    )
+    blocks = cands_p.reshape(c_pad // block_c, block_c, d)
+    if cand_corr is None:
+        thresh = d_true
+        corr_blocks = jnp.zeros((c_pad // block_c, block_c), q.dtype)
+        scale = 1.0
+    else:
+        thresh = 2.0 * d_true - true_corr
+        corr_p = jnp.concatenate([cand_corr, jnp.zeros(c_pad - c, cand_corr.dtype)])
+        corr_blocks = corr_p.reshape(c_pad // block_c, block_c)
+        scale = 2.0
+
+    def body(acc, blk):
+        cb, corr = blk
+        dmat = scale * pairwise_l1(q[:, None, :], cb[None, :, :]) - corr[None, :]
+        return acc + jnp.sum(dmat < thresh[:, None], axis=1), None
+
+    ranks, _ = jax.lax.scan(body, jnp.zeros(s, dtype=jnp.int32), (blocks, corr_blocks))
+    return ranks
+
+
+@partial(jax.jit, static_argnames=("k", "block_c"))
+def _knn_mean_l1(q: jnp.ndarray, cands: jnp.ndarray, k: int, block_c: int = 1024):
+    """Mean distance to the k nearest candidates (CSLS hubness term),
+    blockwise with a running top-k."""
     s, d = q.shape
     c = cands.shape[0]
     c_pad = ((c + block_c - 1) // block_c) * block_c
@@ -32,12 +73,15 @@ def _ranks_l1(q: jnp.ndarray, cands: jnp.ndarray, d_true: jnp.ndarray, block_c: 
     )
     blocks = cands_p.reshape(c_pad // block_c, block_c, d)
 
-    def body(acc, cb):
-        dmat = pairwise_l1(q[:, None, :], cb[None, :, :])  # (S, Bc)
-        return acc + jnp.sum(dmat < d_true[:, None], axis=1), None
+    def body(run, cb):
+        dmat = pairwise_l1(q[:, None, :], cb[None, :, :])
+        allv = jnp.concatenate([run, dmat], axis=1)
+        neg_top, _ = jax.lax.top_k(-allv, k)
+        return -neg_top, None
 
-    ranks, _ = jax.lax.scan(body, jnp.zeros(s, dtype=jnp.int32), blocks)
-    return ranks
+    run0 = jnp.full((s, k), jnp.inf, q.dtype)
+    run, _ = jax.lax.scan(body, run0, blocks)
+    return run.mean(axis=1)
 
 
 def hits_at_k(
@@ -45,18 +89,31 @@ def hits_at_k(
     test_pairs: jnp.ndarray,
     ks: tuple[int, ...] = (1, 10),
     block_c: int = 1024,
+    csls_k: int = 0,
 ) -> dict[str, float]:
     """Both-direction Hits@k and MRR over the test alignment pairs.
 
     Candidate pool convention (family): the test-set entities of the opposite
-    KG.  Returns python floats (device→host readback happens here only).
+    KG.  ``csls_k > 0`` applies the CSLS hubness correction (Conneau et al.;
+    standard in the HGCN/RDGCN reporting convention): score(q, j) =
+    2·d(q, j) − mean_{k-NN}(d(·, j)).  Returns python floats (device→host
+    readback happens here only).
     """
     l = jnp.take(emb, test_pairs[:, 0], axis=0)
     r = jnp.take(emb, test_pairs[:, 1], axis=0)
     d_true = pairwise_l1(l, r)
+    corr = {}
+    if csls_k > 0:
+        corr["l"] = _knn_mean_l1(l, r, csls_k, block_c)  # hubness of left wrt right pool
+        corr["r"] = _knn_mean_l1(r, l, csls_k, block_c)
     out = {}
     for tag, q, cands in (("l2r", l, r), ("r2l", r, l)):
-        ranks = _ranks_l1(q, cands, d_true, block_c=block_c)
+        if csls_k > 0:
+            cand_corr = corr["r"] if tag == "l2r" else corr["l"]
+            ranks = _ranks_l1(q, cands, d_true, block_c=block_c,
+                              cand_corr=cand_corr, true_corr=cand_corr)
+        else:
+            ranks = _ranks_l1(q, cands, d_true, block_c=block_c)
         for k in ks:
             out[f"hits@{k}_{tag}"] = float(jnp.mean(ranks < k))
         out[f"mrr_{tag}"] = float(jnp.mean(1.0 / (ranks.astype(jnp.float32) + 1.0)))

@@ -160,7 +160,7 @@ def fit(
             jax.profiler.stop_trace()
         ckpt.maybe_save(epoch, {"params": params, "opt_state": opt_state})
         if cfg.eval_every and (epoch % cfg.eval_every == 0 or epoch == cfg.epochs - 1):
-            m = hits_at_k(embed(params), jnp.asarray(task.test_pairs))
+            m = hits_at_k(embed(params), jnp.asarray(task.test_pairs), csls_k=cfg.eval_csls_k)
             wall = time.perf_counter() - t_start
             rec = {
                 "epoch": epoch,
@@ -176,7 +176,7 @@ def fit(
                     f"[fit:{cfg.name}] epoch {epoch} loss {rec['loss']:.4f} "
                     f"hits@1 {m['hits@1']:.3f} hits@10 {m['hits@10']:.3f}"
                 )
-    final = hits_at_k(embed(params), jnp.asarray(task.test_pairs))
+    final = hits_at_k(embed(params), jnp.asarray(task.test_pairs), csls_k=cfg.eval_csls_k)
     final["final_loss"] = float(loss)
     logger.close()
     return TrainResult(params=params, metrics=final, history=history, op=op, model=model, task=task)

@@ -106,7 +106,7 @@ def fit_mtl(cfg: TrainConfig, task: AlignTask | None = None, verbose: bool = Fal
                 batch = make_batch_jit(bk)
         params, opt_state, loss, aux = train_step(params, opt_state, batch)
         if cfg.eval_every and (epoch % cfg.eval_every == 0 or epoch == cfg.epochs - 1):
-            m = hits_at_k(embed(params), jnp.asarray(task.test_pairs))
+            m = hits_at_k(embed(params), jnp.asarray(task.test_pairs), csls_k=cfg.eval_csls_k)
             rec = {
                 "epoch": epoch,
                 "wall_s": round(time.perf_counter() - t_start, 3),
@@ -118,7 +118,7 @@ def fit_mtl(cfg: TrainConfig, task: AlignTask | None = None, verbose: bool = Fal
             if verbose:
                 parts = " ".join(f"{k}={float(v):.4f}" for k, v in aux.items())
                 print(f"[mtl:{cfg.name}] epoch {epoch} {parts} hits@1 {m['hits@1']:.3f}")
-    final = hits_at_k(embed(params), jnp.asarray(task.test_pairs))
+    final = hits_at_k(embed(params), jnp.asarray(task.test_pairs), csls_k=cfg.eval_csls_k)
     final["final_loss"] = float(loss)
     logger.close()
     return TrainResult(params=params, metrics=final, history=history, op=op, model=model, task=task)
