@@ -62,18 +62,19 @@ def bench_jax(task) -> tuple[float, int]:
     )
 
     @jax.jit
-    def many(x):
-        def body(x, _):
-            y, vjp = jax.vjp(lambda x: spmm(op, x), x)
-            (dx,) = vjp(y)  # backward pass with upstream = y
-            return dx, None
+    def step(x):
+        """One fwd+bwd SpMM pass; jitted once, chained from Python — the
+        chain dispatches asynchronously so tunnel latency is paid once."""
+        y, vjp = jax.vjp(lambda x: spmm(op, x), x)
+        (dx,) = vjp(y)
+        return dx
 
-        x, _ = jax.lax.scan(body, x, None, length=JAX_ITERS)
-        return x
-
-    many(x).block_until_ready()  # compile + warm
+    step(x).block_until_ready()  # compile + warm
     t0 = time.perf_counter()
-    many(x).block_until_ready()
+    xc = x
+    for _ in range(JAX_ITERS):
+        xc = step(xc)
+    xc.block_until_ready()
     wall = time.perf_counter() - t0
     return op.nnz * JAX_ITERS / wall, op.nnz
 

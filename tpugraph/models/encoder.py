@@ -36,6 +36,8 @@ class AlignGCN(nn.Module):
         if self.highway:
             self.hw1 = Highway()
             self.hw2 = Highway()
+        if self.dropout > 0.0:
+            self.drop = nn.Dropout(self.dropout)
 
     def layer_activations(self, op: SpMMOperator, train: bool = False) -> list[jnp.ndarray]:
         """[input embeddings, layer-1 act, layer-2 act] — parity harness hook."""
@@ -46,8 +48,8 @@ class AlignGCN(nn.Module):
             h = self.hw1(x, h)
         acts.append(h)
         h_in = h
-        if self.dropout > 0.0 and train:
-            h_in = nn.Dropout(self.dropout, deterministic=False)(h_in)
+        if self.dropout > 0.0:
+            h_in = self.drop(h_in, deterministic=not train)
         h2 = self.gc2(h_in, op)
         if self.highway:
             h2 = self.hw2(h, h2)

@@ -98,8 +98,9 @@ def fit(
     pairs = jnp.asarray(task.train_pairs)
     n1, n = task.kg1.n_ent, task.n_ent
 
-    def loss_fn(params, neg_l, neg_r):
-        emb = model.apply({"params": params}, op, train=True)
+    def loss_fn(params, neg_l, neg_r, step_key):
+        rngs = {"dropout": step_key} if cfg.dropout > 0 else None
+        emb = model.apply({"params": params}, op, train=True, rngs=rngs)
         loss = margin_align_loss(emb, pairs, neg_l, neg_r, cfg.gamma)
         aux = {"margin": loss}
         if extra_loss_fn is not None:
@@ -109,8 +110,10 @@ def fit(
         return loss, aux
 
     @jax.jit
-    def train_step(params, opt_state, neg_l, neg_r):
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, neg_l, neg_r)
+    def train_step(params, opt_state, neg_l, neg_r, step_key):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, neg_l, neg_r, step_key
+        )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, aux
@@ -154,7 +157,9 @@ def fit(
                 neg_l, neg_r = sample_uniform_negatives(nk, pairs, n1, n, cfg.k_neg)
         if cfg.profile_dir and epoch == start_epoch + 2:
             jax.profiler.start_trace(cfg.profile_dir)
-        params, opt_state, loss, aux = train_step(params, opt_state, neg_l, neg_r)
+        params, opt_state, loss, aux = train_step(
+            params, opt_state, neg_l, neg_r, jax.random.fold_in(base_key, 2**29 + epoch)
+        )
         if cfg.profile_dir and epoch == start_epoch + 5:
             jax.block_until_ready(loss)
             jax.profiler.stop_trace()

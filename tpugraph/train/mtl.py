@@ -79,9 +79,11 @@ def fit_mtl(cfg: TrainConfig, task: AlignTask | None = None, verbose: bool = Fal
     opt_state = tx.init(params)
 
     @jax.jit
-    def train_step(params, opt_state, batch):
+    def train_step(params, opt_state, batch, step_key):
+        rngs = {"dropout": step_key} if cfg.dropout > 0 else None
         (loss, aux), grads = jax.value_and_grad(
-            lambda p, b: model.apply({"params": p}, op, b, train=True), has_aux=True
+            lambda p, b: model.apply({"params": p}, op, b, train=True, rngs=rngs),
+            has_aux=True,
         )(params, batch)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss, aux
@@ -104,7 +106,9 @@ def fit_mtl(cfg: TrainConfig, task: AlignTask | None = None, verbose: bool = Fal
                 batch = make_batch_hard_jit(bk, params)
             else:
                 batch = make_batch_jit(bk)
-        params, opt_state, loss, aux = train_step(params, opt_state, batch)
+        params, opt_state, loss, aux = train_step(
+            params, opt_state, batch, jax.random.fold_in(key, 2**29 + epoch)
+        )
         if cfg.eval_every and (epoch % cfg.eval_every == 0 or epoch == cfg.epochs - 1):
             m = hits_at_k(embed(params), jnp.asarray(task.test_pairs), csls_k=cfg.eval_csls_k)
             rec = {
