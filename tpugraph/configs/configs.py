@@ -58,6 +58,9 @@ class TrainConfig:
     rel_k_neg: int = 10
     use_attr_head: bool = False
     attr_weight: float = 0.25
+    use_attr_channel: bool = False  # GCN-Align AE channel (attribute-feature GCN)
+    attr_beta: float = 0.9  # SE/AE distance combination weight at eval
+    attr_channel_weight: float = 1.0  # AE margin-loss weight during training
 
     # --- optimization ---
     epochs: int = 400

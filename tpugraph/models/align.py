@@ -39,11 +39,25 @@ class AlignMTL(nn.Module):
             self.rel_head = RelationHead(n_rel=self.n_rel, dim=c.dim)
         if c.use_attr_head:
             self.attr_head = AttributeHead(n_attr=self.n_attr)
+        if c.use_attr_channel:
+            from tpugraph.models.attr_channel import AttrChannelGCN
 
-    def embed(self, op: SpMMOperator, train: bool = False) -> jnp.ndarray:
-        return self.encoder(op, train=train)
+            self.ae_encoder = AttrChannelGCN(
+                n_attr=self.n_attr, dim=c.dim, spmm_impl=c.spmm_impl
+            )
 
-    def __call__(self, op, batch: dict, train: bool = False):
+    def embed(self, op: SpMMOperator, attr_op=None, train: bool = False) -> jnp.ndarray:
+        """Evaluation embeddings: SE channel, or the GCN-Align-style β-weighted
+        SE‖AE concat when the attribute channel is enabled."""
+        se = self.encoder(op, train=train)
+        if self.cfg.use_attr_channel and attr_op is not None:
+            from tpugraph.models.attr_channel import combine_channels
+
+            ae = self.ae_encoder(op, attr_op)
+            return combine_channels(se, ae, self.cfg.attr_beta)
+        return se
+
+    def __call__(self, op, batch: dict, train: bool = False, attr_op=None):
         """batch keys: pairs, neg_l, neg_r, and (per enabled head)
         rel_triples/rel_neg_t/rel_neg_h, attr_triples."""
         c = self.cfg
@@ -66,5 +80,11 @@ class AlignMTL(nn.Module):
             l_attr = self.attr_head(emb, batch["attr_triples"])
             aux["attr"] = l_attr
             loss = loss + c.attr_weight * l_attr
+        if c.use_attr_channel and attr_op is not None:
+            ae = self.ae_encoder(op, attr_op)
+            l_ae = margin_align_loss(ae, batch["pairs"], batch["neg_l"], batch["neg_r"],
+                                     c.gamma)
+            aux["ae"] = l_ae
+            loss = loss + c.attr_channel_weight * l_ae
         aux["total"] = loss
         return loss, aux

@@ -157,15 +157,23 @@ def pad_sort_edges(
 
 
 def build_spmm_operator(
-    src: np.ndarray, dst: np.ndarray, w: np.ndarray, n_rows: int, bucket: int = PAD_BUCKET
+    src: np.ndarray,
+    dst: np.ndarray,
+    w: np.ndarray,
+    n_rows: int,
+    bucket: int = PAD_BUCKET,
+    n_cols: int | None = None,
 ) -> SpMMOperator:
     """Package a COO matrix for fast forward (A@x) and backward (Aᵀ@g).
 
     The transpose operator reuses the same logical edges with roles swapped
-    and re-sorted, so the VJP is also a sorted-segment SpMM.
+    and re-sorted, so the VJP is also a sorted-segment SpMM.  For a
+    rectangular A (n_rows × n_cols, e.g. the entity×attribute incidence)
+    pass ``n_cols``: the transpose has that many output rows.
     """
     fwd = pad_sort_edges(src, dst, w, n_rows, bucket, sort_by="dst")
-    bwd = pad_sort_edges(dst, src, w, n_rows, bucket, sort_by="dst")
+    bwd = pad_sort_edges(dst, src, w, n_cols if n_cols is not None else n_rows,
+                         bucket, sort_by="dst")
     return SpMMOperator(fwd=fwd, bwd=bwd)
 
 

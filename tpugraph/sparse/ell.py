@@ -124,8 +124,11 @@ class EllOperator:
         return self.fwd.nnz
 
 
-def build_ell_operator(src: np.ndarray, dst: np.ndarray, w: np.ndarray, n_rows: int) -> EllOperator:
+def build_ell_operator(
+    src: np.ndarray, dst: np.ndarray, w: np.ndarray, n_rows: int, n_cols: int | None = None
+) -> EllOperator:
+    """``n_cols`` (rectangular A): the transpose ELL has n_cols output rows."""
     return EllOperator(
         fwd=build_ell(src, dst, w, n_rows),
-        bwd=build_ell(dst, src, w, n_rows),
+        bwd=build_ell(dst, src, w, n_cols if n_cols is not None else n_rows),
     )

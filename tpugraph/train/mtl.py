@@ -47,8 +47,16 @@ def fit_mtl(cfg: TrainConfig, task: AlignTask | None = None, verbose: bool = Fal
         fmt="ell" if cfg.spmm_impl == "ell" else "sorted",
     )
     attr_all = task.merged_attr_triples
-    if cfg.use_attr_head and (attr_all is None or task.n_attr == 0):
-        raise ValueError("attribute head enabled but the task has no attribute triples")
+    if (cfg.use_attr_head or cfg.use_attr_channel) and (attr_all is None or task.n_attr == 0):
+        raise ValueError("attribute head/channel enabled but the task has no attribute triples")
+    attr_op = None
+    if cfg.use_attr_channel:
+        from tpugraph.models.attr_channel import build_attr_operator
+
+        attr_op = build_attr_operator(
+            attr_all, task.n_ent, task.n_attr,
+            fmt="ell" if cfg.spmm_impl == "ell" else "sorted", bucket=cfg.pad_bucket,
+        )
     model = AlignMTL(n_ent=task.n_ent, n_rel=task.n_rel, n_attr=max(task.n_attr, 1), cfg=cfg)
 
     pairs = jnp.asarray(task.train_pairs)
@@ -60,7 +68,7 @@ def fit_mtl(cfg: TrainConfig, task: AlignTask | None = None, verbose: bool = Fal
     def make_batch(key, params=None):
         ks = jax.random.split(key, 4)
         if cfg.neg_mode == "hard" and params is not None:
-            emb = model.apply({"params": params}, op, method=model.embed)
+            emb = model.apply({"params": params}, op, attr_op=attr_op, method=model.embed)
             neg_l, neg_r = sample_hard_negatives(emb, pairs, n1, n, cfg.k_neg)
         else:
             neg_l, neg_r = sample_uniform_negatives(ks[0], pairs, n1, n, cfg.k_neg)
@@ -74,7 +82,7 @@ def fit_mtl(cfg: TrainConfig, task: AlignTask | None = None, verbose: bool = Fal
 
     key = jax.random.PRNGKey(cfg.seed)
     key, init_key, bk = jax.random.split(key, 3)
-    params = model.init(init_key, op, make_batch(bk))["params"]
+    params = model.init(init_key, op, make_batch(bk), attr_op=attr_op)["params"]
     tx = optax.adam(cfg.lr)
     opt_state = tx.init(params)
 
@@ -82,7 +90,8 @@ def fit_mtl(cfg: TrainConfig, task: AlignTask | None = None, verbose: bool = Fal
     def train_step(params, opt_state, batch, step_key):
         rngs = {"dropout": step_key} if cfg.dropout > 0 else None
         (loss, aux), grads = jax.value_and_grad(
-            lambda p, b: model.apply({"params": p}, op, b, train=True, rngs=rngs),
+            lambda p, b: model.apply({"params": p}, op, b, train=True, rngs=rngs,
+                                     attr_op=attr_op),
             has_aux=True,
         )(params, batch)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -93,7 +102,7 @@ def fit_mtl(cfg: TrainConfig, task: AlignTask | None = None, verbose: bool = Fal
 
     @jax.jit
     def embed(params):
-        return model.apply({"params": params}, op, method=model.embed)
+        return model.apply({"params": params}, op, attr_op=attr_op, method=model.embed)
 
     logger = MetricsLogger(cfg.metrics_path, config=cfg.to_dict())
     history = []
