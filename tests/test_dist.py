@@ -140,3 +140,23 @@ def test_fit_distributed_matches_single_device():
     assert r1.history[-1]["loss"] == pytest.approx(r8.history[-1]["loss"], rel=1e-4)
     assert r1.metrics["hits@1"] == pytest.approx(r8.metrics["hits@1"], abs=1e-6)
     assert r1.metrics["hits@10"] == pytest.approx(r8.metrics["hits@10"], abs=1e-6)
+
+
+def test_fit_distributed_mtl_heads():
+    """Distributed MTL: sinkhorn/rel/attr head losses over the sharded
+    encoder; N=8 matches N=1 step-for-step."""
+    from tpugraph.configs import get_config
+    from tpugraph.data.synthetic import synthetic_align_task
+    from tpugraph.dist.trainer import fit_distributed
+
+    task = synthetic_align_task(seed=7, n_ent=120, n_rel=5, n_triples=500, n_attr=16)
+    kw = dict(dim=16, epochs=8, eval_every=4, k_neg=6, neg_every=4,
+              neg_mode="uniform", syn_n_ent=120, use_sinkhorn=True,
+              use_rel_head=True, use_attr_head=True, sinkhorn_iters=5, rel_k_neg=3)
+    r1 = fit_distributed(get_config("mtl", n_shards=1, **kw), task=task)
+    r8 = fit_distributed(get_config("mtl", n_shards=8, **kw), task=task)
+    h1, h8 = r1.history[-1], r8.history[-1]
+    for k in ("loss_margin", "loss_sinkhorn", "loss_rel", "loss_attr"):
+        assert np.isfinite(h1[k]) and np.isfinite(h8[k]), k
+        assert h1[k] == pytest.approx(h8[k], rel=1e-3), k
+    assert r1.metrics["hits@1"] == pytest.approx(r8.metrics["hits@1"], abs=1e-6)

@@ -36,8 +36,9 @@ from tpugraph.train.metrics import MetricsLogger
 from tpugraph.train.negatives import sample_hard_negatives, sample_uniform_negatives
 
 
-def init_params(key, n_pad: int, dim: int, hidden: int, highway: bool):
-    ks = jax.random.split(key, 6)
+def init_params(key, n_pad: int, dim: int, hidden: int, highway: bool,
+                n_rel: int = 0, n_attr: int = 0):
+    ks = jax.random.split(key, 8)
     xavier = jax.nn.initializers.xavier_uniform()
     p = {
         "emb": jax.random.normal(ks[0], (n_pad, dim)) / dim**0.5,
@@ -47,6 +48,10 @@ def init_params(key, n_pad: int, dim: int, hidden: int, highway: bool):
     if highway:
         p["hw1"] = {"w": xavier(ks[3], (hidden, hidden)), "b": jnp.zeros((hidden,))}
         p["hw2"] = {"w": xavier(ks[4], (dim, dim)), "b": jnp.zeros((dim,))}
+    if n_rel:
+        p["rel"] = jax.random.normal(ks[5], (n_rel, dim)) / dim**0.5
+    if n_attr:
+        p["attr_out"] = {"w": xavier(ks[6], (dim, n_attr)), "b": jnp.zeros((n_attr,))}
     return p
 
 
@@ -128,7 +133,12 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
     hidden = cfg.hidden or cfg.dim
     key = jax.random.PRNGKey(cfg.seed)
     key, ik = jax.random.split(key)
-    params = init_params(ik, n_pad, cfg.dim, hidden, cfg.highway)
+    attr_all = task.merged_attr_triples
+    params = init_params(
+        ik, n_pad, cfg.dim, hidden, cfg.highway,
+        n_rel=task.n_rel if cfg.use_rel_head else 0,
+        n_attr=task.n_attr if cfg.use_attr_head else 0,
+    )
     emb_sharding = NamedSharding(mesh, P("graph", None))
     repl = NamedSharding(mesh, P())
     params = jax.device_put(params, repl)
@@ -141,24 +151,69 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
 
     pairs = jax.device_put(jnp.asarray(task.train_pairs), repl)
     n1, n = task.kg1.n_ent, task.n_ent
+    rel_triples = jax.device_put(jnp.asarray(task.merged_triples), repl)
+    attr_triples = (
+        jax.device_put(jnp.asarray(attr_all), repl) if attr_all is not None else None
+    )
+
+    def head_losses(p, emb, batch):
+        """MTL heads on the row-sharded encoder output (GSPMD inserts the
+        gathers/collectives; only the encoder needs explicit shard_map)."""
+        aux = {}
+        extra = 0.0
+        if cfg.use_sinkhorn:
+            from tpugraph.train.ot import sinkhorn_align_loss
+
+            l_ot = sinkhorn_align_loss(emb, pairs, tau=cfg.sinkhorn_tau,
+                                       n_iters=cfg.sinkhorn_iters)
+            aux["sinkhorn"] = l_ot
+            extra = extra + cfg.sinkhorn_weight * l_ot
+        if cfg.use_rel_head:
+            h = jnp.take(emb, rel_triples[:, 0], axis=0)
+            r = jnp.take(p["rel"], rel_triples[:, 1], axis=0)
+            t = jnp.take(emb, rel_triples[:, 2], axis=0)
+            pos = jnp.sum(h * r * t, axis=-1)
+            tn = jnp.take(emb, batch["rel_neg_t"], axis=0)
+            hn = jnp.take(emb, batch["rel_neg_h"], axis=0)
+            neg_t = jnp.einsum("td,tkd->tk", h * r, tn)
+            neg_h = jnp.einsum("td,tkd->tk", r * t, hn)
+            l_rel = (-jax.nn.log_sigmoid(pos).mean()
+                     - 0.5 * (jax.nn.log_sigmoid(-neg_t).mean()
+                              + jax.nn.log_sigmoid(-neg_h).mean()))
+            aux["rel"] = l_rel
+            extra = extra + cfg.rel_weight * l_rel
+        if cfg.use_attr_head:
+            at = batch["attr_triples"]
+            logits = jnp.take(emb, at[:, 0], axis=0) @ p["attr_out"]["w"] + p["attr_out"]["b"]
+            log_p = jax.nn.log_softmax(logits, axis=-1)
+            l_attr = -jnp.take_along_axis(log_p, at[:, 1:2], axis=1).mean()
+            aux["attr"] = l_attr
+            extra = extra + cfg.attr_weight * l_attr
+        return extra, aux
+
+    def enc_sub(p):
+        """Encoder-only param subtree (shard_map in_specs match it)."""
+        return {k: p[k] for k in ("emb", "gc1", "gc2", "hw1", "hw2") if k in p}
 
     @jax.jit
-    def train_step(params, opt_state, neg_l, neg_r):
+    def train_step(params, opt_state, batch):
         def loss_fn(p):
-            emb = encode(p, hg)
-            return margin_align_loss(emb, pairs, neg_l, neg_r, cfg.gamma)
+            emb = encode(enc_sub(p), hg)
+            loss = margin_align_loss(emb, pairs, batch["neg_l"], batch["neg_r"], cfg.gamma)
+            extra, aux = head_losses(p, emb, batch)
+            return loss + extra, {"margin": loss, **aux}
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state2 = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state2, loss
+        return optax.apply_updates(params, updates), opt_state2, loss, aux
 
     @jax.jit
     def embed(params):
-        return encode(params, hg)
+        return encode(enc_sub(params), hg)
 
     @jax.jit
     def resample_hard(params):
-        emb = encode(params, hg)
+        emb = encode(enc_sub(params), hg)
         return sample_hard_negatives(emb, pairs, n1, n, cfg.k_neg)
 
     def dist_eval(params):
@@ -169,25 +224,56 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
             return ring_hits_at_k(embed(params), task.test_pairs, mesh)
         return hits_at_k(embed(params), jnp.asarray(task.test_pairs))
 
+    from tpugraph.train.checkpoint import Checkpointer, abstract_like
+
+    ckpt = Checkpointer(cfg.checkpoint_dir, cfg.checkpoint_every)
+    start_epoch = 0
+    restored = ckpt.restore_latest(abstract_like({"params": params, "opt_state": opt_state}))
+    if restored is not None:
+        start_epoch, state = restored
+        start_epoch += 1
+        params, opt_state = state["params"], state["opt_state"]
+        params["emb"] = jax.device_put(params["emb"], emb_sharding)
+
+    base_key = jax.random.PRNGKey(cfg.seed)
+
+    def make_batch(epoch):
+        """Epoch-keyed batch: same on every host (SURVEY.md §7 hard part 6)."""
+        bk = jax.random.fold_in(base_key, epoch - epoch % cfg.neg_every)
+        ks = jax.random.split(bk, 3)
+        if cfg.neg_mode == "hard" and epoch > 0:
+            neg_l, neg_r = resample_hard(params)
+        else:
+            neg_l, neg_r = sample_uniform_negatives(ks[0], pairs, n1, n, cfg.k_neg)
+        batch = {"neg_l": neg_l, "neg_r": neg_r}
+        if cfg.use_rel_head:
+            kt, kh = jax.random.split(ks[1])
+            t = rel_triples.shape[0]
+            batch["rel_neg_t"] = jax.random.randint(kt, (t, cfg.rel_k_neg), 0, n, dtype=jnp.int32)
+            batch["rel_neg_h"] = jax.random.randint(kh, (t, cfg.rel_k_neg), 0, n, dtype=jnp.int32)
+        if cfg.use_attr_head:
+            bs = min(8192, attr_triples.shape[0])
+            idx = jax.random.randint(ks[2], (bs,), 0, attr_triples.shape[0], dtype=jnp.int32)
+            batch["attr_triples"] = jnp.take(attr_triples, idx, axis=0)
+        return batch
+
     logger = MetricsLogger(cfg.metrics_path, config=cfg.to_dict())
     history = []
-    neg_l = neg_r = None
+    batch = None
     t_start = time.perf_counter()
     with mesh:
-        for epoch in range(cfg.epochs):
-            if epoch % cfg.neg_every == 0:
-                if cfg.neg_mode == "hard" and epoch > 0:
-                    neg_l, neg_r = resample_hard(params)
-                else:
-                    key, nk = jax.random.split(key)
-                    neg_l, neg_r = sample_uniform_negatives(nk, pairs, n1, n, cfg.k_neg)
-            params, opt_state, loss = train_step(params, opt_state, neg_l, neg_r)
+        for epoch in range(start_epoch, cfg.epochs):
+            if epoch % cfg.neg_every == 0 or batch is None:
+                batch = make_batch(epoch)
+            params, opt_state, loss, aux = train_step(params, opt_state, batch)
+            ckpt.maybe_save(epoch, {"params": params, "opt_state": opt_state})
             if cfg.eval_every and (epoch % cfg.eval_every == 0 or epoch == cfg.epochs - 1):
                 m = dist_eval(params)
                 wall = time.perf_counter() - t_start
                 rec = {
                     "epoch": epoch, "loss": float(loss), "wall_s": round(wall, 3),
                     "edges_per_s": round(hg.nnz * 2 * (epoch + 1) / max(wall, 1e-9), 1),
+                    **{f"loss_{k}": float(v) for k, v in aux.items()},
                     **{k: round(v, 4) for k, v in m.items()},
                 }
                 history.append(rec)
@@ -197,5 +283,7 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
                           f"hits@1 {m['hits@1']:.3f}")
         final = dist_eval(params)
     final["final_loss"] = float(loss)
+    ckpt.maybe_save(cfg.epochs - 1, {"params": params, "opt_state": opt_state}, force=True)
+    ckpt.close()
     logger.close()
     return TrainResult(params=params, metrics=final, history=history, task=task)
