@@ -35,3 +35,18 @@ def test_fit_highway_weighted_variant():
     res = fit(cfg, task=task)
     assert res.history[-1]["loss"] < res.history[0]["loss"]
     assert np.isfinite(res.metrics["hits@1"])
+
+
+def test_fit_bf16_compute_dtype():
+    """bf16 activations (fp32 params/accum): trains, stays finite, and lands
+    near the fp32 run."""
+    from tpugraph.configs import get_config
+
+    task = synthetic_align_task(seed=2, n_ent=250, n_rel=6, n_triples=900,
+                                drop_frac=0.0, noise_frac=0.0)
+    kw = dict(dim=32, epochs=60, eval_every=30, k_neg=10, neg_every=5,
+              pad_bucket=1024, neg_mode="uniform")
+    r32 = fit(get_config("base", param_dtype="float32", **kw), task=task)
+    r16 = fit(get_config("base", param_dtype="bfloat16", **kw), task=task)
+    assert np.isfinite(r16.metrics["final_loss"])
+    assert abs(r16.metrics["hits@10"] - r32.metrics["hits@10"]) < 0.15

@@ -39,7 +39,7 @@ class TrainConfig:
     highway: bool = False
     dropout: float = 0.0
     spmm_impl: str = "ell"  # 'ell' (scatter-free, fastest) | 'sorted' | 'xla' | 'pallas'
-    param_dtype: str = "float32"
+    param_dtype: str = "float32"  # compute dtype: "bfloat16" = bf16 activations, fp32 params/accumulation
 
     # --- margin alignment loss ---
     gamma: float = 10.0

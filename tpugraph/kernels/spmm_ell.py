@@ -16,12 +16,14 @@ from tpugraph.sparse.ell import EllMatrix, EllOperator
 
 
 def _ell_apply(m: EllMatrix, x: jax.Array) -> jax.Array:
-    """A @ x via bucketed gather + dense reduce; output in natural row order."""
+    """A @ x via bucketed gather + dense reduce; output in natural row order.
+    bf16 inputs gather in bf16 but accumulate in fp32, then cast back."""
     outs = []
     for b in m.buckets:
         g = jnp.take(x, b.idx.reshape(-1), axis=0)  # (R*K, d) — the hot gather
         g = g.reshape(b.idx.shape[0], b.k, x.shape[-1])
-        outs.append(jnp.einsum("rk,rkd->rd", b.w, g))
+        acc = jnp.einsum("rk,rkd->rd", b.w, g, preferred_element_type=jnp.float32)
+        outs.append(acc.astype(x.dtype))
     n_zero = m.n_rows - sum(o.shape[0] for o in outs)
     outs.append(jnp.zeros((n_zero, x.shape[-1]), x.dtype))
     stacked = jnp.concatenate(outs, axis=0)

@@ -33,7 +33,7 @@ class AlignMTL(nn.Module):
         c = self.cfg
         self.encoder = AlignGCN(
             n_ent=self.n_ent, dim=c.dim, hidden=c.hidden, highway=c.highway,
-            dropout=c.dropout, spmm_impl=c.spmm_impl,
+            dropout=c.dropout, spmm_impl=c.spmm_impl, compute_dtype=c.param_dtype,
         )
         if c.use_rel_head:
             self.rel_head = RelationHead(n_rel=self.n_rel, dim=c.dim)

@@ -25,6 +25,7 @@ class AlignGCN(nn.Module):
     highway: bool = False
     dropout: float = 0.0
     spmm_impl: str = "sorted"
+    compute_dtype: str = "float32"  # 'bfloat16': bf16 activations, fp32 params/accum
 
     def setup(self):
         hidden = self.hidden or self.dim
@@ -41,7 +42,9 @@ class AlignGCN(nn.Module):
 
     def layer_activations(self, op: SpMMOperator, train: bool = False) -> list[jnp.ndarray]:
         """[input embeddings, layer-1 act, layer-2 act] — parity harness hook."""
-        x = self.emb
+        import jax.numpy as jnp_
+
+        x = self.emb.astype(jnp_.dtype(self.compute_dtype))
         acts = [x]
         h = nn.relu(self.gc1(x, op))
         if self.highway and h.shape == x.shape:
@@ -53,7 +56,7 @@ class AlignGCN(nn.Module):
         h2 = self.gc2(h_in, op)
         if self.highway:
             h2 = self.hw2(h, h2)
-        acts.append(h2)
+        acts.append(h2.astype(jnp.float32))  # losses/eval always in fp32
         return acts
 
     def __call__(self, op: SpMMOperator, train: bool = False) -> jnp.ndarray:

@@ -40,9 +40,9 @@ class GraphConvolution(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, op: SpMMOperator) -> jnp.ndarray:
         w = self.param("w", nn.initializers.xavier_uniform(), (x.shape[-1], self.out_dim))
-        support = x @ w  # MXU GEMM
+        support = x @ w.astype(x.dtype)  # MXU GEMM in the compute dtype
         out = get_spmm_impl(self.impl)(op, support)
         if self.use_bias:
             b = self.param("b", nn.initializers.zeros, (self.out_dim,))
-            out = out + b
+            out = out + b.astype(out.dtype)
         return out

@@ -18,5 +18,5 @@ class Highway(nn.Module):
         dim = x.shape[-1]
         w = self.param("w", nn.initializers.xavier_uniform(), (dim, dim))
         b = self.param("b", nn.initializers.zeros, (dim,))
-        t = nn.sigmoid(x @ w + b)
+        t = nn.sigmoid(x @ w.astype(x.dtype) + b.astype(x.dtype))
         return t * h + (1.0 - t) * x

@@ -64,6 +64,7 @@ def build_model(cfg: TrainConfig, task: AlignTask) -> AlignGCN:
         highway=cfg.highway,
         dropout=cfg.dropout,
         spmm_impl=cfg.spmm_impl,
+        compute_dtype=cfg.param_dtype,
     )
 
 
