@@ -147,3 +147,23 @@ def test_padding_edges_inert_in_fwd_and_bwd():
     g1 = jax.grad(lambda x: jnp.sum(spmm(op_small, x) ** 3))(x)
     g2 = jax.grad(lambda x: jnp.sum(spmm(op_big, x) ** 3))(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-6)
+
+
+def test_sqeuclidean_knn_matches_l1_structure():
+    """MXU-metric mining returns the true sqeuclidean k-NN (vs numpy oracle),
+    including with non-divisible candidate counts (pad-sentinel path)."""
+    import jax.numpy as jnp
+
+    from tpugraph.train.negatives import blockwise_knn_l1
+
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal((23, 8)).astype(np.float32)
+    c = rng.standard_normal((53, 8)).astype(np.float32)
+    excl = rng.integers(0, 53, 23).astype(np.int32)
+    got = np.asarray(blockwise_knn_l1(jnp.asarray(q), jnp.asarray(c),
+                                      jnp.asarray(excl), k=4, block_c=16,
+                                      metric="sqeuclidean"))
+    d = ((q[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+    d[np.arange(23), excl] = np.inf
+    want = np.argsort(d, axis=1)[:, :4]
+    np.testing.assert_array_equal(np.sort(got, 1), np.sort(want, 1))

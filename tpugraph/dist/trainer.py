@@ -214,7 +214,7 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
     @jax.jit
     def resample_hard(params):
         emb = encode(enc_sub(params), hg)
-        return sample_hard_negatives(emb, pairs, n1, n, cfg.k_neg)
+        return sample_hard_negatives(emb, pairs, n1, n, cfg.k_neg, metric=cfg.neg_metric)
 
     def dist_eval(params):
         """Ring-blockwise eval (SURVEY.md §5.7) when actually sharded."""

@@ -122,7 +122,7 @@ def fit(
     @jax.jit
     def resample_hard(params):
         emb = model.apply({"params": params}, op)
-        return sample_hard_negatives(emb, pairs, n1, n, cfg.k_neg)
+        return sample_hard_negatives(emb, pairs, n1, n, cfg.k_neg, metric=cfg.neg_metric)
 
     @jax.jit
     def embed(params):

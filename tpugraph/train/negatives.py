@@ -41,20 +41,28 @@ def _topk_merge(run_vals, run_idx, new_vals, new_idx, k):
     return -neg_top, jnp.take_along_axis(idx, pos, axis=1)
 
 
-@partial(jax.jit, static_argnames=("k", "block_c"))
+@partial(jax.jit, static_argnames=("k", "block_c", "metric"))
 def blockwise_knn_l1(
     q: jnp.ndarray,  # (S, d) queries
     cands: jnp.ndarray,  # (C, d) candidate pool
     exclude: jnp.ndarray,  # (S,) candidate index to mask out (true partner), -1 = none
     k: int,
     block_c: int = 1024,
+    metric: str = "cityblock",
 ) -> jnp.ndarray:
-    """Indices (into cands) of the k L1-nearest candidates per query."""
+    """Indices (into cands) of the k nearest candidates per query.
+
+    metric='cityblock' matches the family/oracle (VPU-bound: S·C·d ops);
+    metric='sqeuclidean' rides the MXU (‖a‖²+‖b‖²−2ab) — the only viable
+    mining metric at DWY100K scale (100k×100k×d)."""
     s, d = q.shape
     c = cands.shape[0]
     c_pad = ((c + block_c - 1) // block_c) * block_c
+    # pad value: inf is fine for L1; for the matmul form it would produce
+    # 0*inf = nan, so use a large finite sentinel there
+    pad_val = jnp.inf if metric == "cityblock" else 1e15
     cands_p = jnp.concatenate(
-        [cands, jnp.full((c_pad - c, d), jnp.inf, dtype=cands.dtype)], axis=0
+        [cands, jnp.full((c_pad - c, d), pad_val, dtype=cands.dtype)], axis=0
     )
     n_blocks = c_pad // block_c
     blocks = cands_p.reshape(n_blocks, block_c, d)
@@ -63,10 +71,18 @@ def blockwise_knn_l1(
     init_vals = jnp.full((s, k), jnp.inf, dtype=jnp.float32)
     init_idx = jnp.zeros((s, k), dtype=jnp.int32)
 
+    q2 = jnp.sum(q.astype(jnp.float32) ** 2, axis=1)
+
     def body(carry, blk):
         rv, ri = carry
         cb, off = blk
-        dmat = pairwise_l1(q[:, None, :], cb[None, :, :]).astype(jnp.float32)  # (S, Bc)
+        if metric == "sqeuclidean":
+            c32 = cb.astype(jnp.float32)
+            dmat = (q2[:, None] + jnp.sum(c32 * c32, axis=1)[None, :]
+                    - 2.0 * jnp.dot(q.astype(jnp.float32), c32.T,
+                                    preferred_element_type=jnp.float32))
+        else:
+            dmat = pairwise_l1(q[:, None, :], cb[None, :, :]).astype(jnp.float32)  # (S, Bc)
         cidx = off + jax.lax.broadcasted_iota(jnp.int32, (s, block_c), 1)
         dmat = jnp.where(cidx == exclude[:, None], jnp.inf, dmat)
         return _topk_merge(rv, ri, dmat, cidx, k), None
@@ -82,6 +98,7 @@ def sample_hard_negatives(
     n_ent: int,
     k: int,
     block_c: int = 1024,
+    metric: str = "cityblock",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Truncated k-NN negatives: the k closest non-partner entities of the
     opposite KG, in current embedding space (semantics match
@@ -90,6 +107,6 @@ def sample_hard_negatives(
     e_r = jnp.take(emb, pairs[:, 1], axis=0)
     cand_l = jax.lax.slice_in_dim(emb, 0, n_ent_1, axis=0)
     cand_r = jax.lax.slice_in_dim(emb, n_ent_1, n_ent, axis=0)
-    neg_r = blockwise_knn_l1(e_l, cand_r, pairs[:, 1] - n_ent_1, k, block_c) + n_ent_1
-    neg_l = blockwise_knn_l1(e_r, cand_l, pairs[:, 0], k, block_c)
+    neg_r = blockwise_knn_l1(e_l, cand_r, pairs[:, 1] - n_ent_1, k, block_c, metric) + n_ent_1
+    neg_l = blockwise_knn_l1(e_r, cand_l, pairs[:, 0], k, block_c, metric)
     return neg_l, neg_r
