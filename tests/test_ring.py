@@ -61,3 +61,28 @@ def test_ring_sinkhorn_matches_dense():
     f_got, g_got = ring_sinkhorn_potentials(l, r, _mesh(), tau=0.1, n_iters=25)
     np.testing.assert_allclose(np.asarray(f_got), np.asarray(f_want), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want), rtol=1e-4, atol=1e-5)
+
+
+def test_ring_sinkhorn_loss_and_grad_match_single_device():
+    import jax
+    import jax.numpy as jnp
+
+    from tpugraph.dist.ring import ring_sinkhorn_align_loss
+    from tpugraph.train.ot import sinkhorn_align_loss
+
+    rng = np.random.default_rng(3)
+    n_ent, d, s = 120, 8, 37  # non-divisible pair count
+    emb = jnp.asarray(rng.standard_normal((n_ent, d)).astype(np.float32))
+    pairs = jnp.asarray(np.stack([rng.choice(60, s, replace=False),
+                                  60 + rng.choice(60, s, replace=False)], 1)
+                        .astype(np.int32))
+    mesh = _mesh()
+    want = float(sinkhorn_align_loss(emb, pairs, tau=0.1, n_iters=12, block_q=16))
+    got = float(ring_sinkhorn_align_loss(emb, pairs, mesh, tau=0.1, n_iters=12))
+    assert got == pytest.approx(want, rel=1e-4)
+    g_want = jax.grad(lambda e: sinkhorn_align_loss(e, pairs, tau=0.1, n_iters=12,
+                                                    block_q=16))(emb)
+    g_got = jax.grad(lambda e: ring_sinkhorn_align_loss(e, pairs, mesh, tau=0.1,
+                                                        n_iters=12))(emb)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
+                               rtol=1e-3, atol=1e-5)

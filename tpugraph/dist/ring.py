@@ -160,6 +160,101 @@ def ring_knn(
     return idxs[:qn]
 
 
+# ------------------------------------------------- differentiable ring OT loss
+def ring_sinkhorn_align_loss(
+    emb: jnp.ndarray,
+    pairs: jnp.ndarray,
+    mesh,
+    tau: float = 0.05,
+    n_iters: int = 20,
+    axis: str = "graph",
+) -> jnp.ndarray:
+    """Ring-blockwise version of train.ot.sinkhorn_align_loss, differentiable
+    end-to-end: all loops are ``lax.scan`` so reverse-mode AD flows through
+    the ``ppermute`` rotations (transpose of a permute is the inverse
+    permute).  The full cost matrix never exists; each (query, candidate)
+    tile is recomputed per pass — the ring-attention recompute trade.
+
+    Matches the single-device loss to float tolerance (tests/test_ring.py).
+    """
+    s_mesh = mesh.shape[axis]
+    l = jnp.take(emb, pairs[:, 0], axis=0)
+    r = jnp.take(emb, pairs[:, 1], axis=0)
+    l = l / (jnp.linalg.norm(l, axis=-1, keepdims=True) + 1e-8)
+    r = r / (jnp.linalg.norm(r, axis=-1, keepdims=True) + 1e-8)
+    n = l.shape[0]
+    n_pad = ((n + s_mesh - 1) // s_mesh) * s_mesh
+    pad = n_pad - n
+    d = l.shape[1]
+    if pad:
+        l = jnp.concatenate([l, jnp.zeros((pad, d), l.dtype)])
+        r = jnp.concatenate([r, jnp.zeros((pad, d), r.dtype)])
+    valid = jnp.concatenate([jnp.ones(n), jnp.zeros(pad)]).astype(jnp.float32)
+    log_mass = -np.log(n)
+
+    def cost_tile(a, b):
+        d2 = (
+            jnp.sum(a * a, -1)[:, None]
+            + jnp.sum(b * b, -1)[None, :]
+            - 2.0 * jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+        )
+        return jnp.maximum(d2, 0.0)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(axis, None), P(axis, None), P(axis)),
+             out_specs=P())
+    def solve(lb, rb, vb):
+        s = jax.lax.axis_size(axis)
+        bq = lb.shape[0]
+        pv = lambda x: jax.lax.pvary(x, (axis,))
+
+        def lse_ring(qblk, pot_other, other_blk):
+            """LSE_j[(pot_j − C(q,j))/τ + log valid_j] via scan over rotations."""
+            def body(carry, _):
+                m, sacc, pot, val, blk = carry
+                c = cost_tile(qblk, blk)
+                # finite mask sentinel: log(0) = -inf would turn an
+                # all-padding tile into exp(-inf - -inf) = nan
+                mask = jnp.where(val > 0, 0.0, -1e30)
+                z = (pot[None, :] - c) / tau + mask[None, :]
+                m2 = jnp.max(z, axis=1)
+                s2 = jnp.sum(jnp.exp(z - m2[:, None]), axis=1)
+                mm = jnp.maximum(m, m2)
+                sacc = sacc * jnp.exp(m - mm) + s2 * jnp.exp(m2 - mm)
+                perm = _ring_perm(axis)
+                pot = jax.lax.ppermute(pot, axis, perm=perm)
+                val = jax.lax.ppermute(val, axis, perm=perm)
+                blk = jax.lax.ppermute(blk, axis, perm=perm)
+                return (mm, sacc, pot, val, blk), None
+
+            init = (pv(jnp.full((bq,), -1e30, jnp.float32)),
+                    pv(jnp.zeros((bq,), jnp.float32)), pot_other, vb, other_blk)
+            (m, sacc, *_), _ = jax.lax.scan(body, init, None, length=s)
+            return m + jnp.log(jnp.maximum(sacc, 1e-38))
+
+        def iter_body(fg, _):
+            f, g = fg
+            f = tau * (log_mass - lse_ring(lb, g, rb))
+            f = jnp.where(vb > 0, f, 0.0)
+            g = tau * (log_mass - lse_ring(rb, f, lb))
+            g = jnp.where(vb > 0, g, 0.0)
+            return (f, g), None
+
+        f0 = pv(jnp.zeros((bq,), jnp.float32))
+        g0 = pv(jnp.zeros((bq,), jnp.float32))
+        (f, g), _ = jax.lax.scan(iter_body, (f0, g0), None, length=n_iters)
+
+        # per-pair NLL: log P_ii − LSE_j log P_ij; the f_i/τ terms cancel:
+        #   (f+g_i−C_ii)/τ − (f_i/τ + LSE_j((g_j−C_ij)/τ)) = (g_i−C_ii)/τ − lse_i
+        c_diag = jnp.sum((lb - rb) ** 2, axis=-1)
+        lse_i = lse_ring(lb, g, rb)
+        ll = jnp.where(vb > 0, (g - c_diag) / tau - lse_i, 0.0)
+        return -jax.lax.psum(jnp.sum(ll), axis) / n
+
+    with mesh:
+        return solve(l, r, valid)
+
+
 # ------------------------------------------------------------- ring Sinkhorn
 def _lse_merge(m1, s1, m2, s2):
     """Merge two (max, sumexp) partial log-sum-exp states."""

@@ -162,10 +162,20 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
         aux = {}
         extra = 0.0
         if cfg.use_sinkhorn:
-            from tpugraph.train.ot import sinkhorn_align_loss
+            if n_shards > 1:
+                # ring-blockwise OT (SURVEY.md §5.7): cost tiles rotate via
+                # ppermute, grads flow through the collective; required at
+                # DWY100K seed-set scale where the cost matrix cannot exist
+                from tpugraph.dist.ring import ring_sinkhorn_align_loss
 
-            l_ot = sinkhorn_align_loss(emb, pairs, tau=cfg.sinkhorn_tau,
-                                       n_iters=cfg.sinkhorn_iters)
+                l_ot = ring_sinkhorn_align_loss(emb, pairs, mesh,
+                                                tau=cfg.sinkhorn_tau,
+                                                n_iters=cfg.sinkhorn_iters)
+            else:
+                from tpugraph.train.ot import sinkhorn_align_loss
+
+                l_ot = sinkhorn_align_loss(emb, pairs, tau=cfg.sinkhorn_tau,
+                                           n_iters=cfg.sinkhorn_iters)
             aux["sinkhorn"] = l_ot
             extra = extra + cfg.sinkhorn_weight * l_ot
         if cfg.use_rel_head:
