@@ -25,11 +25,21 @@ SCALES = {
 HP = dict(dim=128, epochs=400, lr=2e-3, gamma=10.0, k_neg=50, neg_every=5)
 
 
+VARIANTS = {
+    # config[0]: plain 2-layer GCN, uniform adjacency, sym norm
+    "base": dict(weighting="uniform", norm="sym", highway=False),
+    # config[1]: highway gates + funifun relation weights + rw norm
+    "highway": dict(weighting="funifun", norm="rw", highway=True),
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", default="dbp5k", choices=sorted(SCALES))
+    ap.add_argument("--variant", default="base", choices=sorted(VARIANTS))
     ap.add_argument("--skip-oracle", action="store_true")
     args = ap.parse_args()
+    var = VARIANTS[args.variant]
 
     from tpugraph.data.synthetic import synthetic_align_task
 
@@ -39,15 +49,16 @@ def main():
     if not args.skip_oracle:
         from tpugraph.parity.torch_ref import train_oracle
 
-        _, m = train_oracle(task, neg_mode="hard", **HP)
+        _, m = train_oracle(task, neg_mode="hard", **HP, **var)
         results["torch_oracle"] = m
         print(json.dumps({"system": "torch_oracle_cpu", "scale": args.scale,
+                          "variant": args.variant,
                           **{k: round(v, 4) for k, v in m.items()}}), flush=True)
 
     from tpugraph.configs import get_config
     from tpugraph.train.loop import fit
 
-    cfg = get_config("base", neg_mode="hard", eval_every=100, **HP)
+    cfg = get_config("base", neg_mode="hard", eval_every=100, **HP, **var)
     res = fit(cfg, task=task)
     results["tpugraph"] = res.metrics
     print(json.dumps({"system": "tpugraph", "scale": args.scale,

@@ -3,7 +3,7 @@
 import numpy as np
 import pytest
 
-from tpugraph.sparse.build import build_adjacency, coo_from_triples, coo_normalize, coo_to_dense
+from tpugraph.sparse.build import coo_from_triples, coo_normalize, coo_to_dense
 from tpugraph.sparse.ell import build_ell_operator
 
 

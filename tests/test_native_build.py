@@ -4,7 +4,7 @@ import numpy as np
 import pytest
 
 from tpugraph import native
-from tpugraph.sparse.build import coo_from_triples, coo_normalize, coo_to_dense
+from tpugraph.sparse.build import coo_from_triples, coo_normalize
 
 pytestmark = pytest.mark.skipif(not native.available(), reason="no native toolchain")
 

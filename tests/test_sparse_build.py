@@ -5,7 +5,6 @@ import pytest
 
 from tpugraph.sparse.build import (
     build_adjacency,
-    build_spmm_operator,
     coo_from_triples,
     coo_normalize,
     coo_to_dense,

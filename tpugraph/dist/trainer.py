@@ -18,7 +18,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
@@ -88,9 +87,6 @@ def make_encoder(mesh, hg: HaloGraph, highway: bool):
         
     )
     def encode(params, hgs: HaloGraph):
-        def squeeze(a):
-            return a.reshape(a.shape[1:]) if a.ndim > 1 or True else a
-
         loc_src = hgs.loc_src.reshape(-1)
         loc_dst = hgs.loc_dst.reshape(-1)
         loc_w = hgs.loc_w.reshape(-1)

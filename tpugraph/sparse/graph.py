@@ -16,7 +16,6 @@ Design notes (TPU-first, SURVEY.md §2.1 "Adjacency builder" / §7 hard part 1):
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass, field
 
 import jax

@@ -9,7 +9,7 @@ loop.py so the CLI and tests have one entry point as capabilities grow.
 from __future__ import annotations
 
 from tpugraph.configs.configs import TrainConfig
-from tpugraph.train.loop import TrainResult, fit, load_task
+from tpugraph.train.loop import TrainResult, fit
 
 
 def run(cfg: TrainConfig, verbose: bool = False) -> TrainResult:
