@@ -82,6 +82,8 @@ def bench_jax(task) -> tuple[float, int]:
 def bench_torch(task) -> float:
     import torch
 
+    torch.set_num_threads(8)  # pin: vs_baseline must not drift with CPU load
+
     from tpugraph.parity.torch_ref import build_torch_adj
 
     adj = build_torch_adj(task.n_ent, task.merged_triples, n_rel=task.n_rel,
