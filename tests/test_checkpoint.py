@@ -49,3 +49,23 @@ def test_disabled_checkpointer_noops():
     ck.maybe_save(10, {"x": 1})
     assert ck.restore_latest({}) is None
     ck.close()
+
+
+def test_restore_onto_different_mesh(tmp_path):
+    """Save a distributed run at 4 shards, resume it at 8 (Orbax reshard)."""
+    from tpugraph.dist.trainer import fit_distributed
+
+    task = synthetic_align_task(seed=13, n_ent=128, n_rel=5, n_triples=500)
+    ckdir = str(tmp_path / "ck")
+    kw = dict(dim=16, eval_every=0, k_neg=5, neg_every=4, neg_mode="uniform",
+              syn_n_ent=128, checkpoint_dir=ckdir, checkpoint_every=4)
+    fit(None) if False else None
+    r4 = fit_distributed(get_config("base", n_shards=4, epochs=8, **kw), task=task)
+    r8 = fit_distributed(get_config("base", n_shards=8, epochs=16, **kw), task=task)
+    # the 8-shard run resumed from the 4-shard checkpoint: reference is an
+    # uninterrupted 16-epoch run at any shard count (math is N-invariant)
+    ref = fit_distributed(get_config("base", n_shards=8, epochs=16,
+                                     **{**kw, "checkpoint_dir": None,
+                                        "checkpoint_every": 0}), task=task)
+    np.testing.assert_allclose(np.asarray(r8.params["emb"]),
+                               np.asarray(ref.params["emb"]), rtol=1e-5, atol=1e-6)

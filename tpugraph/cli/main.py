@@ -57,7 +57,13 @@ def main(argv=None):
     ap.add_argument("--profile-dir", default=None)
     ap.add_argument("--set", nargs="*", default=[], help="key=value config overrides")
     ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--debug-nans", action="store_true",
+                    help="dev flag: raise on the first NaN anywhere (jax_debug_nans)")
     args = ap.parse_args(argv)
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
 
     cfg = get_config(args.config)
     overrides = parse_overrides(cfg, args.set)

@@ -238,8 +238,20 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
     if restored is not None:
         start_epoch, state = restored
         start_epoch += 1
-        params, opt_state = state["params"], state["opt_state"]
+        # re-place everything on THIS run's mesh: the checkpoint may come
+        # from a different shard count (Orbax restores global arrays)
+        params = jax.device_put(state["params"], repl)
         params["emb"] = jax.device_put(params["emb"], emb_sharding)
+        opt_state = jax.device_put(state["opt_state"], repl)
+        opt_state = jax.tree_util.tree_map(
+            lambda x: x, opt_state
+        )
+        # opt_state contains a copy of emb-shaped moments: shard them too
+        def _reshard_embed_like(t):
+            return jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, emb_sharding)
+                if hasattr(x, "shape") and x.shape == params["emb"].shape else x, t)
+        opt_state = _reshard_embed_like(opt_state)
 
     base_key = jax.random.PRNGKey(cfg.seed)
 

@@ -30,6 +30,10 @@ from tpugraph.sparse.graph import PaddedEdges, SpMMOperator
 
 def _segment_spmm(edges: PaddedEdges, x: jax.Array) -> jax.Array:
     """out[i] = Σ_{e: dst[e]=i} w[e] * x[src[e]], rows [0, n_rows)."""
+    import chex
+
+    chex.assert_rank(x, 2)  # (n_cols, d) feature matrix
+    chex.assert_equal_shape([edges.src, edges.dst, edges.w])
     msg = jnp.take(x, edges.src, axis=0) * edges.w[:, None]
     out = jax.ops.segment_sum(
         msg,

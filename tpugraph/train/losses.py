@@ -30,6 +30,11 @@ def margin_align_loss(
 
     0.5 * (mean ReLU(d⁺ + γ − d(e_l, neg_r)) + mean ReLU(d⁺ + γ − d(neg_l, e_r)))
     """
+    import chex
+
+    chex.assert_rank(emb, 2)
+    chex.assert_shape(pairs, (neg_l.shape[0], 2))
+    chex.assert_equal_shape([neg_l, neg_r])
     e_l = jnp.take(emb, pairs[:, 0], axis=0)
     e_r = jnp.take(emb, pairs[:, 1], axis=0)
     d_pos = pairwise_l1(e_l, e_r)[:, None]  # (S, 1)
