@@ -50,3 +50,17 @@ def test_fit_bf16_compute_dtype():
     r16 = fit(get_config("base", param_dtype="bfloat16", **kw), task=task)
     assert np.isfinite(r16.metrics["final_loss"])
     assert abs(r16.metrics["hits@10"] - r32.metrics["hits@10"]) < 0.15
+
+
+def test_steps_per_call_fusion_identical():
+    """Fusing 5 epochs per dispatch must not change the math."""
+    from tpugraph.configs import get_config
+
+    task = synthetic_align_task(seed=4, n_ent=150, n_rel=5, n_triples=600)
+    kw = dict(dim=16, epochs=20, eval_every=10, k_neg=5, neg_every=5,
+              neg_mode="uniform", pad_bucket=256, syn_n_ent=150)
+    r1 = fit(get_config("base", steps_per_call=1, **kw), task=task)
+    r5 = fit(get_config("base", steps_per_call=5, **kw), task=task)
+    np.testing.assert_array_equal(np.asarray(r1.params["emb"]),
+                                  np.asarray(r5.params["emb"]))
+    assert r1.metrics["hits@1"] == r5.metrics["hits@1"]

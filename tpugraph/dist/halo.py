@@ -28,6 +28,31 @@ def _segsum(w, x, src, dst, n_rows):
     return out[:n_rows]
 
 
+def halo_spmm_ell(
+    x_local: jnp.ndarray,  # (n_loc, d)
+    loc_op,  # EllOperator over local rows (squeezed, this shard's)
+    bnd_op,  # EllOperator over the halo recv buffer
+    send_idx,  # (S, B)
+    send_mask,  # (S, B)
+    axis: str = "graph",
+) -> jnp.ndarray:
+    """Scatter-free halo SpMM: same exchange/overlap structure as halo_spmm,
+    aggregation via the ELL path (kernels/spmm_ell.py) in fwd AND bwd."""
+    from tpugraph.kernels.spmm_ell import spmm_ell
+
+    s, b = send_idx.shape
+    d = x_local.shape[1]
+    with jax.named_scope("halo_a2a"):
+        send = jnp.take(x_local, send_idx.reshape(-1), axis=0).reshape(s, b, d)
+        send = send * send_mask[:, :, None]
+        recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0, tiled=True)
+    with jax.named_scope("spmm_local"):
+        out = spmm_ell(loc_op, x_local)
+    with jax.named_scope("spmm_boundary"):
+        out = out + spmm_ell(bnd_op, recv.reshape(s * b, d))
+    return out
+
+
 def halo_spmm(
     x_local: jnp.ndarray,  # (n_loc, d) — this shard's rows of the feature matrix
     loc_src, loc_dst, loc_w,  # (E_loc,) local edge group

@@ -54,13 +54,14 @@ def init_params(key, n_pad: int, dim: int, hidden: int, highway: bool,
     return p
 
 
-def make_encoder(mesh, hg: HaloGraph, highway: bool):
-    """Returns encode(params) -> (N_pad, d) embeddings, row-sharded on 'graph'.
+def make_encoder(mesh, halo, highway: bool, impl: str = "sorted"):
+    """Returns encode(params, halo) -> (N_pad, d), row-sharded on 'graph'.
 
     The shard_map body mirrors models/encoder.py AlignGCN exactly (parity
     is asserted in tests/test_dist.py); only the SpMM is halo-exchanged.
+    ``impl``: 'sorted' (segment-sum groups, HaloGraph) or 'ell' (scatter-free
+    stacked ELL operators, HaloEll — the fast path, see docs/DESIGN.md §2).
     """
-    g = P("graph")
     repl = P()
 
     @partial(
@@ -74,31 +75,35 @@ def make_encoder(mesh, hg: HaloGraph, highway: bool):
                 **({"hw1": {"w": repl, "b": repl}, "hw2": {"w": repl, "b": repl}}
                    if highway else {}),
             },
-            # HaloGraph stacked leaves: split leading shard axis
-            HaloGraph(
-                loc_src=g, loc_dst=g, loc_w=g,
-                bnd_src=g, bnd_dst=g, bnd_w=g,
-                send_idx=g, send_mask=g,
-                n_shards=hg.n_shards, n_loc=hg.n_loc, halo_b=hg.halo_b,
-                nnz=hg.nnz, n_rows=hg.n_rows,
-            ),
+            P("graph"),  # halo operator: prefix spec — every leaf splits dim 0
         ),
         out_specs=P("graph", None),
-        
     )
-    def encode(params, hgs: HaloGraph):
-        loc_src = hgs.loc_src.reshape(-1)
-        loc_dst = hgs.loc_dst.reshape(-1)
-        loc_w = hgs.loc_w.reshape(-1)
-        bnd_src = hgs.bnd_src.reshape(-1)
-        bnd_dst = hgs.bnd_dst.reshape(-1)
-        bnd_w = hgs.bnd_w.reshape(-1)
-        send_idx = hgs.send_idx.reshape(hgs.n_shards, hgs.halo_b)
-        send_mask = hgs.send_mask.reshape(hgs.n_shards, hgs.halo_b)
+    def encode(params, hs):
+        if impl == "ell":
+            from tpugraph.dist.halo import halo_spmm_ell
+            from tpugraph.sparse.halo_ell import squeeze_shard
 
-        def spmm(x):
-            return halo_spmm(x, loc_src, loc_dst, loc_w, bnd_src, bnd_dst, bnd_w,
-                             send_idx, send_mask)
+            hsq = squeeze_shard(hs)
+            send_idx = hsq.send_idx.reshape(hs.n_shards, hs.halo_b)
+            send_mask = hsq.send_mask.reshape(hs.n_shards, hs.halo_b)
+
+            def spmm(x):
+                return halo_spmm_ell(x, hsq.loc, hsq.bnd, send_idx, send_mask)
+
+        else:
+            loc_src = hs.loc_src.reshape(-1)
+            loc_dst = hs.loc_dst.reshape(-1)
+            loc_w = hs.loc_w.reshape(-1)
+            bnd_src = hs.bnd_src.reshape(-1)
+            bnd_dst = hs.bnd_dst.reshape(-1)
+            bnd_w = hs.bnd_w.reshape(-1)
+            send_idx = hs.send_idx.reshape(hs.n_shards, hs.halo_b)
+            send_mask = hs.send_mask.reshape(hs.n_shards, hs.halo_b)
+
+            def spmm(x):
+                return halo_spmm(x, loc_src, loc_dst, loc_w, bnd_src, bnd_dst, bnd_w,
+                                 send_idx, send_mask)
 
         x = params["emb"]  # (n_loc, dim)
         h = jax.nn.relu(spmm(x @ params["gc1"]["w"]) + params["gc1"]["b"])
@@ -139,9 +144,16 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
     repl = NamedSharding(mesh, P())
     params = jax.device_put(params, repl)
     params["emb"] = jax.device_put(params["emb"], emb_sharding)
-    hg = jax.device_put(hg, NamedSharding(mesh, P("graph")))
+    if cfg.spmm_impl == "ell":
+        from tpugraph.sparse.halo_ell import build_halo_ell
 
-    encode = make_encoder(mesh, hg, cfg.highway)
+        halo = build_halo_ell(hg)
+    else:
+        halo = hg
+    halo = jax.device_put(halo, NamedSharding(mesh, P("graph")))
+
+    encode = make_encoder(mesh, halo, cfg.highway,
+                          impl="ell" if cfg.spmm_impl == "ell" else "sorted")
     tx = optax.adam(cfg.lr)
     opt_state = jax.device_put(tx.init(params), repl)
 
@@ -204,7 +216,7 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
     @jax.jit
     def train_step(params, opt_state, batch):
         def loss_fn(p):
-            emb = encode(enc_sub(p), hg)
+            emb = encode(enc_sub(p), halo)
             loss = margin_align_loss(emb, pairs, batch["neg_l"], batch["neg_r"], cfg.gamma)
             extra, aux = head_losses(p, emb, batch)
             return loss + extra, {"margin": loss, **aux}
@@ -215,11 +227,11 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
 
     @jax.jit
     def embed(params):
-        return encode(enc_sub(params), hg)
+        return encode(enc_sub(params), halo)
 
     @jax.jit
     def resample_hard(params):
-        emb = encode(enc_sub(params), hg)
+        emb = encode(enc_sub(params), halo)
         return sample_hard_negatives(emb, pairs, n1, n, cfg.k_neg, metric=cfg.neg_metric)
 
     def dist_eval(params):

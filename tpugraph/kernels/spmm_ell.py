@@ -17,15 +17,19 @@ from tpugraph.sparse.ell import EllMatrix, EllOperator
 
 def _ell_apply(m: EllMatrix, x: jax.Array) -> jax.Array:
     """A @ x via bucketed gather + dense reduce; output in natural row order.
-    bf16 inputs gather in bf16 but accumulate in fp32, then cast back."""
+    bf16 inputs gather in bf16 but accumulate in fp32, then cast back.
+
+    A trailing all-zero row is always appended to the bucket concat; rows
+    with degree 0 (and any padded bucket rows — buckets may be padded to
+    common sizes for the stacked/sharded case) resolve through row_order to
+    zero without a dedicated zeros block."""
     outs = []
     for b in m.buckets:
         g = jnp.take(x, b.idx.reshape(-1), axis=0)  # (R*K, d) — the hot gather
         g = g.reshape(b.idx.shape[0], b.k, x.shape[-1])
         acc = jnp.einsum("rk,rkd->rd", b.w, g, preferred_element_type=jnp.float32)
         outs.append(acc.astype(x.dtype))
-    n_zero = m.n_rows - sum(o.shape[0] for o in outs)
-    outs.append(jnp.zeros((n_zero, x.shape[-1]), x.dtype))
+    outs.append(jnp.zeros((1, x.shape[-1]), x.dtype))
     stacked = jnp.concatenate(outs, axis=0)
     return jnp.take(stacked, m.row_order, axis=0)
 

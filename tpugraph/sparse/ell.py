@@ -93,12 +93,13 @@ def build_ell(
                       w=jnp.asarray(val), k=int(cap))
         )
         out_rows.append(rows)
-    # rows with degree 0 go last (their output is zero)
-    zero_rows = np.where(deg == 0)[0]
-    out_rows.append(zero_rows)
-    concat_rows = np.concatenate(out_rows) if out_rows else np.zeros(0, np.int64)
-    row_order = np.empty(n_rows, np.int64)
-    row_order[concat_rows] = np.arange(n_rows)
+    # rows with degree 0 point at the applier's trailing zero row
+    concat_rows = (
+        np.concatenate(out_rows) if out_rows else np.zeros(0, np.int64)
+    )
+    total = sum(len(r) for r in out_rows)
+    row_order = np.full(n_rows, total, np.int64)  # default: the zero row
+    row_order[concat_rows] = np.arange(total)
     return EllMatrix(
         buckets=buckets,
         row_order=jnp.asarray(row_order.astype(np.int32)),

@@ -1,0 +1,141 @@
+"""Scatter-free ELL layout for the edge-partitioned halo encoder.
+
+Converts a HaloGraph (sparse/partition.py) into per-shard ELL operators with
+bucket shapes COMMON across shards (shard_map splits a stacked leading axis,
+so every shard must see identical static shapes).  Two operators per shard:
+
+* ``loc`` — the local edge group, a (n_loc × n_loc) matrix over this shard's
+  own rows;
+* ``bnd`` — the boundary group, a (n_loc × S·B) matrix over the received
+  halo buffer.
+
+Both carry their transpose ELL, so the halo SpMM's backward is scatter-free
+too (spmm_ell's custom VJP).  Padded bucket rows have weight 0 and resolve
+through row_order to the applier's trailing zero row — inert in fwd and bwd.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import numpy as np
+
+from tpugraph.sparse.ell import EllBucket, EllMatrix, EllOperator
+from tpugraph.sparse.partition import HaloGraph
+
+
+def _caps(max_deg: int) -> list[int]:
+    caps, k = [], 1
+    while k < max_deg:
+        caps.append(k)
+        k *= 2
+    caps.append(max(max_deg, 1))
+    return caps
+
+
+def _build_stacked_ell(per_shard_edges, n_rows: int) -> EllMatrix:
+    """per_shard_edges: list of (src, dst, w) numpy triples (dst in [0,n_rows)).
+    Returns an EllMatrix whose leaves carry a leading shard axis."""
+    import jax.numpy as jnp
+
+    s = len(per_shard_edges)
+    degs = [np.bincount(d, minlength=n_rows) for _, d, _ in per_shard_edges]
+    max_deg = max((int(dg.max()) if dg.size else 0) for dg in degs)
+    caps = _caps(max(max_deg, 1))
+
+    # per-cap row membership per shard
+    members = []  # [cap][shard] -> row ids
+    for i, cap in enumerate(caps):
+        lo = caps[i - 1] if i > 0 else 0
+        members.append([np.where((dg > lo) & (dg <= cap))[0] for dg in degs])
+    keep = [i for i, m in enumerate(members) if any(len(r) for r in m)]
+    caps = [caps[i] for i in keep]
+    members = [members[i] for i in keep]
+
+    buckets = []
+    # positions within the concat, common across shards
+    offsets = np.cumsum([0] + [max(len(r) for r in m) for m in members])
+    total = int(offsets[-1])
+    row_order = np.full((s, n_rows), total, np.int64)  # default → zero row
+
+    for bi, (cap, mem) in enumerate(zip(caps, members)):
+        r_b = max(len(r) for r in mem)
+        idx = np.zeros((s, r_b, cap), np.int32)
+        val = np.zeros((s, r_b, cap), np.float32)
+        rows_arr = np.zeros((s, r_b), np.int32)
+        for sh, rows in enumerate(mem):
+            if len(rows) == 0:
+                continue
+            src, dst, w = per_shard_edges[sh]
+            rpos = np.full(n_rows, -1, np.int64)
+            rpos[rows] = np.arange(len(rows))
+            sel = rpos[dst] >= 0
+            order = np.argsort(dst[sel], kind="stable")
+            ds, ss_, ws = dst[sel][order], src[sel][order], w[sel][order]
+            # position within row
+            deg_sel = np.bincount(ds, minlength=n_rows)
+            starts = np.concatenate([[0], np.cumsum(deg_sel)])
+            pos = np.arange(len(ds)) - starts[ds]
+            idx[sh, rpos[ds], pos] = ss_
+            val[sh, rpos[ds], pos] = ws
+            rows_arr[sh, : len(rows)] = rows
+            row_order[sh, rows] = offsets[bi] + np.arange(len(rows))
+        buckets.append(EllBucket(rows=jnp.asarray(rows_arr), idx=jnp.asarray(idx),
+                                 w=jnp.asarray(val), k=int(cap)))
+    nnz = sum(len(p[0]) for p in per_shard_edges)
+    return EllMatrix(buckets=buckets, row_order=jnp.asarray(row_order.astype(np.int32)),
+                     n_rows=int(n_rows), nnz=int(nnz))
+
+
+def _extract(hg: HaloGraph, group: str):
+    """Strip per-shard padding edges and return numpy triples per shard."""
+    src = np.asarray(getattr(hg, f"{group}_src"))
+    dst = np.asarray(getattr(hg, f"{group}_dst"))
+    w = np.asarray(getattr(hg, f"{group}_w"))
+    out = []
+    for sh in range(hg.n_shards):
+        real = dst[sh] < hg.n_loc
+        out.append((src[sh][real].astype(np.int64), dst[sh][real].astype(np.int64),
+                    w[sh][real].astype(np.float64)))
+    return out
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class HaloEll:
+    """Stacked (leading shard axis) scatter-free halo operators + exchange."""
+
+    loc: EllOperator
+    bnd: EllOperator
+    send_idx: jax.Array  # (S, S, B)
+    send_mask: jax.Array  # (S, S, B)
+    n_shards: int = field(metadata=dict(static=True))
+    n_loc: int = field(metadata=dict(static=True))
+    halo_b: int = field(metadata=dict(static=True))
+    nnz: int = field(metadata=dict(static=True))
+    n_rows: int = field(metadata=dict(static=True))
+
+
+def build_halo_ell(hg: HaloGraph) -> HaloEll:
+    loc_edges = _extract(hg, "loc")
+    bnd_edges = _extract(hg, "bnd")
+    n_ext = hg.n_shards * hg.halo_b
+    loc = EllOperator(
+        fwd=_build_stacked_ell(loc_edges, hg.n_loc),
+        bwd=_build_stacked_ell([(d, s, w) for s, d, w in loc_edges], hg.n_loc),
+    )
+    bnd = EllOperator(
+        fwd=_build_stacked_ell(bnd_edges, hg.n_loc),
+        bwd=_build_stacked_ell([(d, s, w) for s, d, w in bnd_edges], n_ext),
+    )
+    return HaloEll(
+        loc=loc, bnd=bnd, send_idx=hg.send_idx, send_mask=hg.send_mask,
+        n_shards=hg.n_shards, n_loc=hg.n_loc, halo_b=hg.halo_b,
+        nnz=hg.nnz, n_rows=hg.n_rows,
+    )
+
+
+def squeeze_shard(tree):
+    """Drop the leading length-1 shard axis shard_map leaves carry."""
+    return jax.tree_util.tree_map(lambda a: a.reshape(a.shape[1:]), tree)

@@ -118,6 +118,31 @@ def fit(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, aux
 
+    steps = max(1, cfg.steps_per_call)
+    if steps > 1 and cfg.neg_every % steps != 0:
+        raise ValueError("steps_per_call must divide neg_every")
+
+    @jax.jit
+    def train_chunk(params, opt_state, neg_l, neg_r, epoch0):
+        """steps_per_call epochs fused into one dispatch (lax.scan): this
+        environment's per-dispatch tunnel latency (~0.4 s) otherwise
+        dominates the 40 ms of per-epoch compute at DBP15K scale."""
+
+        def body(carry, i):
+            params, opt_state = carry
+            sk = jax.random.fold_in(base_key, 2**29 + epoch0 + i)
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, neg_l, neg_r, sk
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), (loss, aux)
+
+        (params, opt_state), (losses, auxs) = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(steps)
+        )
+        last_aux = jax.tree_util.tree_map(lambda a: a[-1], auxs)
+        return params, opt_state, losses[-1], last_aux
+
     @jax.jit
     def resample_hard(params):
         emb = model.apply({"params": params}, op)
@@ -144,7 +169,7 @@ def fit(
     nnz = op.fwd.nnz
     loss = jnp.nan
     t_start = time.perf_counter()
-    for epoch in range(start_epoch, cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs, steps):
         if epoch % cfg.neg_every == 0 or neg_l is None:
             # keys derived from (seed, epoch): deterministic across restarts
             # and identical on every host (SURVEY.md §7 hard part 6)
@@ -157,21 +182,29 @@ def fit(
                 neg_l, neg_r = sample_uniform_negatives(nk, pairs, n1, n, cfg.k_neg)
         if cfg.profile_dir and epoch == start_epoch + 2:
             jax.profiler.start_trace(cfg.profile_dir)
-        params, opt_state, loss, aux = train_step(
-            params, opt_state, neg_l, neg_r, jax.random.fold_in(base_key, 2**29 + epoch)
-        )
+        if steps > 1:
+            params, opt_state, loss, aux = train_chunk(
+                params, opt_state, neg_l, neg_r, jnp.int32(epoch)
+            )
+        else:
+            params, opt_state, loss, aux = train_step(
+                params, opt_state, neg_l, neg_r,
+                jax.random.fold_in(base_key, 2**29 + epoch),
+            )
         if cfg.profile_dir and epoch == start_epoch + 5:
             jax.block_until_ready(loss)
             jax.profiler.stop_trace()
-        ckpt.maybe_save(epoch, {"params": params, "opt_state": opt_state})
-        if cfg.eval_every and (epoch % cfg.eval_every == 0 or epoch == cfg.epochs - 1):
+        last_of_chunk = epoch + steps - 1
+        ckpt.maybe_save(last_of_chunk, {"params": params, "opt_state": opt_state})
+        if cfg.eval_every and (last_of_chunk % cfg.eval_every < steps
+                               or last_of_chunk >= cfg.epochs - 1):
             m = hits_at_k(embed(params), jnp.asarray(task.test_pairs), csls_k=cfg.eval_csls_k)
             wall = time.perf_counter() - t_start
             rec = {
-                "epoch": epoch,
+                "epoch": last_of_chunk,
                 "loss": float(loss),
                 "wall_s": round(wall, 3),
-                "edges_per_s": round(nnz * 2 * (epoch + 1) / max(wall, 1e-9), 1),
+                "edges_per_s": round(nnz * 2 * (last_of_chunk + 1) / max(wall, 1e-9), 1),
                 **{k: round(v, 4) for k, v in m.items()},
             }
             history.append(rec)
