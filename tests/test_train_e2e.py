@@ -64,3 +64,15 @@ def test_steps_per_call_fusion_identical():
     np.testing.assert_array_equal(np.asarray(r1.params["emb"]),
                                   np.asarray(r5.params["emb"]))
     assert r1.metrics["hits@1"] == r5.metrics["hits@1"]
+
+
+def test_interval_fusion_hard_mode_matches():
+    from tpugraph.configs import get_config
+
+    task = synthetic_align_task(seed=5, n_ent=150, n_rel=5, n_triples=600)
+    kw = dict(dim=16, epochs=20, eval_every=10, k_neg=5, neg_every=5,
+              neg_mode="hard", pad_bucket=256, syn_n_ent=150)
+    r1 = fit(get_config("base", steps_per_call=1, **kw), task=task)
+    r5 = fit(get_config("base", steps_per_call=5, **kw), task=task)
+    np.testing.assert_allclose(np.asarray(r1.params["emb"]),
+                               np.asarray(r5.params["emb"]), rtol=1e-5, atol=1e-6)

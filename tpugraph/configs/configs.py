@@ -46,6 +46,7 @@ class TrainConfig:
     k_neg: int = 50
     neg_every: int = 5
     neg_mode: str = "hard"  # 'uniform' | 'hard'
+    neg_approx: bool = False  # approx_min_k hard mining (fast; sampling-safe)
     neg_metric: str = "cityblock"  # hard-mining metric; 'sqeuclidean' rides the MXU (use at DWY100K scale)
 
     # --- auxiliary heads (configs 2/3) ---

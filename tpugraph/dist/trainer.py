@@ -232,7 +232,7 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
     @jax.jit
     def resample_hard(params):
         emb = encode(enc_sub(params), halo)
-        return sample_hard_negatives(emb, pairs, n1, n, cfg.k_neg, metric=cfg.neg_metric)
+        return sample_hard_negatives(emb, pairs, n1, n, cfg.k_neg, metric=cfg.neg_metric, approx=cfg.neg_approx)
 
     def dist_eval(params):
         """Ring-blockwise eval (SURVEY.md §5.7) when actually sharded."""

@@ -119,14 +119,33 @@ def fit(
         return params, opt_state, loss, aux
 
     steps = max(1, cfg.steps_per_call)
-    if steps > 1 and cfg.neg_every % steps != 0:
-        raise ValueError("steps_per_call must divide neg_every")
+    if steps > 1 and steps != cfg.neg_every:
+        raise ValueError("steps_per_call > 1 requires steps_per_call == neg_every "
+                         "(one fused dispatch per resample interval)")
 
     @jax.jit
-    def train_chunk(params, opt_state, neg_l, neg_r, epoch0):
-        """steps_per_call epochs fused into one dispatch (lax.scan): this
-        environment's per-dispatch tunnel latency (~0.4 s) otherwise
-        dominates the 40 ms of per-epoch compute at DBP15K scale."""
+    def train_interval(params, opt_state, epoch0):
+        """One resample interval — negative (re)sampling + neg_every train
+        steps — fused into a single dispatch (lax.scan): per-dispatch tunnel
+        latency (~0.4 s here) otherwise dominates the ~40 ms/epoch compute
+        at DBP15K scale.  Semantics identical to the unfused path (bitwise
+        test in tests/test_train_e2e.py)."""
+
+        def uni_negs(_):
+            return sample_uniform_negatives(
+                jax.random.fold_in(base_key, epoch0), pairs, n1, n, cfg.k_neg
+            )
+
+        if cfg.neg_mode == "hard":
+            def hard_negs(_):
+                emb = model.apply({"params": params}, op)
+                return sample_hard_negatives(emb, pairs, n1, n, cfg.k_neg,
+                                             metric=cfg.neg_metric,
+                                             approx=cfg.neg_approx)
+
+            neg_l, neg_r = jax.lax.cond(epoch0 > 0, hard_negs, uni_negs, None)
+        else:
+            neg_l, neg_r = uni_negs(None)
 
         def body(carry, i):
             params, opt_state = carry
@@ -146,7 +165,7 @@ def fit(
     @jax.jit
     def resample_hard(params):
         emb = model.apply({"params": params}, op)
-        return sample_hard_negatives(emb, pairs, n1, n, cfg.k_neg, metric=cfg.neg_metric)
+        return sample_hard_negatives(emb, pairs, n1, n, cfg.k_neg, metric=cfg.neg_metric, approx=cfg.neg_approx)
 
     @jax.jit
     def embed(params):
@@ -170,7 +189,7 @@ def fit(
     loss = jnp.nan
     t_start = time.perf_counter()
     for epoch in range(start_epoch, cfg.epochs, steps):
-        if epoch % cfg.neg_every == 0 or neg_l is None:
+        if steps == 1 and (epoch % cfg.neg_every == 0 or neg_l is None):
             # keys derived from (seed, epoch): deterministic across restarts
             # and identical on every host (SURVEY.md §7 hard part 6)
             if cfg.neg_mode == "hard" and epoch > 0:
@@ -183,8 +202,8 @@ def fit(
         if cfg.profile_dir and epoch == start_epoch + 2:
             jax.profiler.start_trace(cfg.profile_dir)
         if steps > 1:
-            params, opt_state, loss, aux = train_chunk(
-                params, opt_state, neg_l, neg_r, jnp.int32(epoch)
+            params, opt_state, loss, aux = train_interval(
+                params, opt_state, jnp.int32(epoch)
             )
         else:
             params, opt_state, loss, aux = train_step(
@@ -211,7 +230,7 @@ def fit(
             logger.log(rec)
             if verbose:
                 print(
-                    f"[fit:{cfg.name}] epoch {epoch} loss {rec['loss']:.4f} "
+                    f"[fit:{cfg.name}] epoch {last_of_chunk} loss {rec['loss']:.4f} "
                     f"hits@1 {m['hits@1']:.3f} hits@10 {m['hits@10']:.3f}"
                 )
     final = hits_at_k(embed(params), jnp.asarray(task.test_pairs), csls_k=cfg.eval_csls_k)

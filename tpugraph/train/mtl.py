@@ -68,7 +68,7 @@ def fit_mtl(cfg: TrainConfig, task: AlignTask | None = None, verbose: bool = Fal
         ks = jax.random.split(key, 4)
         if cfg.neg_mode == "hard" and params is not None:
             emb = model.apply({"params": params}, op, attr_op=attr_op, method=model.embed)
-            neg_l, neg_r = sample_hard_negatives(emb, pairs, n1, n, cfg.k_neg, metric=cfg.neg_metric)
+            neg_l, neg_r = sample_hard_negatives(emb, pairs, n1, n, cfg.k_neg, metric=cfg.neg_metric, approx=cfg.neg_approx)
         else:
             neg_l, neg_r = sample_uniform_negatives(ks[0], pairs, n1, n, cfg.k_neg)
         batch = {"pairs": pairs, "neg_l": neg_l, "neg_r": neg_r}

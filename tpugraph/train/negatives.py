@@ -41,7 +41,7 @@ def _topk_merge(run_vals, run_idx, new_vals, new_idx, k):
     return -neg_top, jnp.take_along_axis(idx, pos, axis=1)
 
 
-@partial(jax.jit, static_argnames=("k", "block_c", "metric"))
+@partial(jax.jit, static_argnames=("k", "block_c", "metric", "approx"))
 def blockwise_knn_l1(
     q: jnp.ndarray,  # (S, d) queries
     cands: jnp.ndarray,  # (C, d) candidate pool
@@ -49,12 +49,18 @@ def blockwise_knn_l1(
     k: int,
     block_c: int = 1024,
     metric: str = "cityblock",
+    approx: bool = False,
 ) -> jnp.ndarray:
     """Indices (into cands) of the k nearest candidates per query.
 
     metric='cityblock' matches the family/oracle (VPU-bound: S·C·d ops);
     metric='sqeuclidean' rides the MXU (‖a‖²+‖b‖²−2ab) — the only viable
-    mining metric at DWY100K scale (100k×100k×d)."""
+    mining metric at DWY100K scale (100k×100k×d).
+
+    approx=True replaces the exact per-block top-k merge (XLA top_k = full
+    sort, measured dominant at zh-en scale) with ``lax.approx_min_k`` —
+    TPU-native aggregation designed for MIPS-style mining; negatives are a
+    sampling strategy, so approximate neighbors are semantically fine."""
     s, d = q.shape
     c = cands.shape[0]
     c_pad = ((c + block_c - 1) // block_c) * block_c
@@ -85,6 +91,10 @@ def blockwise_knn_l1(
             dmat = pairwise_l1(q[:, None, :], cb[None, :, :]).astype(jnp.float32)  # (S, Bc)
         cidx = off + jax.lax.broadcasted_iota(jnp.int32, (s, block_c), 1)
         dmat = jnp.where(cidx == exclude[:, None], jnp.inf, dmat)
+        if approx:
+            bv, bpos = jax.lax.approx_min_k(dmat, k)
+            bi = jnp.take_along_axis(cidx, bpos, axis=1)
+            return _topk_merge(rv, ri, bv, bi, k), None
         return _topk_merge(rv, ri, dmat, cidx, k), None
 
     (vals, idx), _ = jax.lax.scan(body, (init_vals, init_idx), (blocks, offsets))
@@ -99,6 +109,7 @@ def sample_hard_negatives(
     k: int,
     block_c: int = 1024,
     metric: str = "cityblock",
+    approx: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Truncated k-NN negatives: the k closest non-partner entities of the
     opposite KG, in current embedding space (semantics match
@@ -107,6 +118,7 @@ def sample_hard_negatives(
     e_r = jnp.take(emb, pairs[:, 1], axis=0)
     cand_l = jax.lax.slice_in_dim(emb, 0, n_ent_1, axis=0)
     cand_r = jax.lax.slice_in_dim(emb, n_ent_1, n_ent, axis=0)
-    neg_r = blockwise_knn_l1(e_l, cand_r, pairs[:, 1] - n_ent_1, k, block_c, metric) + n_ent_1
-    neg_l = blockwise_knn_l1(e_r, cand_l, pairs[:, 0], k, block_c, metric)
+    neg_r = blockwise_knn_l1(e_l, cand_r, pairs[:, 1] - n_ent_1, k, block_c, metric,
+                             approx) + n_ent_1
+    neg_l = blockwise_knn_l1(e_r, cand_l, pairs[:, 0], k, block_c, metric, approx)
     return neg_l, neg_r
