@@ -166,3 +166,21 @@ def test_sqeuclidean_knn_matches_l1_structure():
     d[np.arange(23), excl] = np.inf
     want = np.argsort(d, axis=1)[:, :4]
     np.testing.assert_array_equal(np.sort(got, 1), np.sort(want, 1))
+
+
+def test_approx_knn_high_recall():
+    """Query-blocked approx mining recalls the true neighbors (CPU backend
+    approx_min_k is near-exact; on TPU recall is high by design)."""
+    import jax.numpy as jnp
+
+    from tpugraph.train.negatives import blockwise_knn_l1
+
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.standard_normal((37, 8)).astype(np.float32))
+    c = jnp.asarray(rng.standard_normal((900, 8)).astype(np.float32))
+    ex = jnp.asarray(rng.integers(0, 900, 37), dtype=jnp.int32)
+    for metric in ("sqeuclidean", "cityblock"):
+        exact = np.asarray(blockwise_knn_l1(q, c, ex, k=10, block_c=128, metric=metric))
+        approx = np.asarray(blockwise_knn_l1(q, c, ex, k=10, metric=metric, approx=True))
+        rec = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(exact, approx)])
+        assert rec > 0.8, (metric, rec)

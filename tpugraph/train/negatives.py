@@ -57,12 +57,16 @@ def blockwise_knn_l1(
     metric='sqeuclidean' rides the MXU (‖a‖²+‖b‖²−2ab) — the only viable
     mining metric at DWY100K scale (100k×100k×d).
 
-    approx=True replaces the exact per-block top-k merge (XLA top_k = full
-    sort, measured dominant at zh-en scale) with ``lax.approx_min_k`` —
-    TPU-native aggregation designed for MIPS-style mining; negatives are a
-    sampling strategy, so approximate neighbors are semantically fine."""
+    approx=True switches structure entirely: block over QUERIES, compute the
+    full-width distance tile on the MXU, one ``lax.approx_min_k`` per tile —
+    no running-merge loop (measured: the exact candidate-block merge costs
+    seconds at zh-en scale because XLA top_k is a full sort per merge, while
+    the MXU tile + approx_min_k is ~ms).  Negatives are a sampling strategy,
+    so approximate neighbors are semantically fine."""
     s, d = q.shape
     c = cands.shape[0]
+    if approx:
+        return _knn_query_blocked_approx(q, cands, exclude, k, metric)
     c_pad = ((c + block_c - 1) // block_c) * block_c
     # pad value: inf is fine for L1; for the matmul form it would produce
     # 0*inf = nan, so use a large finite sentinel there
@@ -91,14 +95,39 @@ def blockwise_knn_l1(
             dmat = pairwise_l1(q[:, None, :], cb[None, :, :]).astype(jnp.float32)  # (S, Bc)
         cidx = off + jax.lax.broadcasted_iota(jnp.int32, (s, block_c), 1)
         dmat = jnp.where(cidx == exclude[:, None], jnp.inf, dmat)
-        if approx:
-            bv, bpos = jax.lax.approx_min_k(dmat, k)
-            bi = jnp.take_along_axis(cidx, bpos, axis=1)
-            return _topk_merge(rv, ri, bv, bi, k), None
         return _topk_merge(rv, ri, dmat, cidx, k), None
 
     (vals, idx), _ = jax.lax.scan(body, (init_vals, init_idx), (blocks, offsets))
     return idx
+
+
+def _knn_query_blocked_approx(q, cands, exclude, k, metric, block_q: int = 4096):
+    """Query-blocked approx k-NN: one full-width MXU distance tile per query
+    block, one approx_min_k per tile.  Tile memory = block_q × C × 4 bytes."""
+    s, d = q.shape
+    c = cands.shape[0]
+    q_pad = ((s + block_q - 1) // block_q) * block_q
+    qp = jnp.concatenate([q, jnp.zeros((q_pad - s, d), q.dtype)])
+    ep = jnp.concatenate([exclude, jnp.full((q_pad - s,), -1, exclude.dtype)])
+    qb = qp.reshape(q_pad // block_q, block_q, d)
+    eb = ep.reshape(q_pad // block_q, block_q)
+    c2 = jnp.sum(cands.astype(jnp.float32) ** 2, axis=1)
+
+    def body(_, blk):
+        qq, ex = blk
+        if metric == "sqeuclidean":
+            dmat = (jnp.sum(qq.astype(jnp.float32) ** 2, axis=1)[:, None] + c2[None, :]
+                    - 2.0 * jnp.dot(qq.astype(jnp.float32), cands.astype(jnp.float32).T,
+                                    preferred_element_type=jnp.float32))
+        else:
+            dmat = pairwise_l1(qq[:, None, :], cands[None, :, :]).astype(jnp.float32)
+        cidx = jax.lax.broadcasted_iota(jnp.int32, (block_q, c), 1)
+        dmat = jnp.where(cidx == ex[:, None], jnp.inf, dmat)
+        _, idx = jax.lax.approx_min_k(dmat, k)
+        return None, idx.astype(jnp.int32)
+
+    _, idx = jax.lax.scan(body, None, (qb, eb))
+    return idx.reshape(q_pad, k)[:s]
 
 
 def sample_hard_negatives(
