@@ -67,9 +67,9 @@ class TrainConfig:
     # --- optimization ---
     epochs: int = 400
     eval_csls_k: int = 0  # >0: CSLS hubness-corrected ranking
-    steps_per_call: int = 1  # fuse K epochs into one jitted lax.scan dispatch
-    # (amortizes per-dispatch latency; must divide neg_every; eval/checkpoint
-    # land on chunk boundaries)
+    steps_per_call: int = 1  # >1: fuse a full resample interval (must equal
+    # neg_every) into ONE jitted dispatch — resampling + neg_every train steps
+    # as a lax.scan (amortizes per-dispatch latency; plain fit() path only)
     lr: float = 2e-3
     seed: int = 0
     eval_every: int = 100
