@@ -39,6 +39,7 @@ class TrainConfig:
     highway: bool = False
     dropout: float = 0.0
     spmm_impl: str = "ell"  # 'ell' (scatter-free, fastest) | 'sorted' | 'xla' | 'pallas'
+    l2_normalize: bool = False  # L2-normalize encoder output rows
     param_dtype: str = "float32"  # compute dtype: "bfloat16" = bf16 activations, fp32 params/accumulation
 
     # --- margin alignment loss ---

@@ -26,6 +26,7 @@ class AlignGCN(nn.Module):
     dropout: float = 0.0
     spmm_impl: str = "sorted"
     compute_dtype: str = "float32"  # 'bfloat16': bf16 activations, fp32 params/accum
+    l2_normalize: bool = False  # L2-normalize output rows (stabilizes margin scale)
 
     def setup(self):
         hidden = self.hidden or self.dim
@@ -56,7 +57,10 @@ class AlignGCN(nn.Module):
         h2 = self.gc2(h_in, op)
         if self.highway:
             h2 = self.hw2(h, h2)
-        acts.append(h2.astype(jnp.float32))  # losses/eval always in fp32
+        out = h2.astype(jnp.float32)  # losses/eval always in fp32
+        if self.l2_normalize:
+            out = out / (jnp.linalg.norm(out, axis=-1, keepdims=True) + 1e-8)
+        acts.append(out)
         return acts
 
     def __call__(self, op: SpMMOperator, train: bool = False) -> jnp.ndarray:

@@ -64,6 +64,7 @@ def build_model(cfg: TrainConfig, task: AlignTask) -> AlignGCN:
         dropout=cfg.dropout,
         spmm_impl=cfg.spmm_impl,
         compute_dtype=cfg.param_dtype,
+        l2_normalize=cfg.l2_normalize,
     )
 
 
