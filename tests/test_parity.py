@@ -192,3 +192,54 @@ def test_hard_negative_semantics_match(task):
     # order within the k set may differ on ties; compare as sorted sets per row
     np.testing.assert_array_equal(np.sort(np.asarray(nl_j), axis=1), np.sort(nl_t, axis=1))
     np.testing.assert_array_equal(np.sort(np.asarray(nr_j), axis=1), np.sort(nr_t, axis=1))
+
+
+def test_relation_head_parity(task):
+    import jax
+    import jax.numpy as jnp
+
+    from tpugraph.models.heads import RelationHead
+
+    tmodel, adj_t, jmodel, params, op = _setup(task)
+    with torch.no_grad():
+        emb_t = tmodel(adj_t)
+    emb_j = jnp.asarray(emb_t.numpy())
+    rng = np.random.default_rng(5)
+    tri = task.merged_triples.astype(np.int64)
+    neg_t = rng.integers(0, task.n_ent, (len(tri), 4))
+    neg_h = rng.integers(0, task.n_ent, (len(tri), 4))
+    thead = torch_ref.TorchRelationHead(task.n_rel, 32)
+    loss_t = thead(emb_t, torch.from_numpy(tri), torch.from_numpy(neg_t),
+                   torch.from_numpy(neg_h))
+    jhead = RelationHead(n_rel=task.n_rel, dim=32)
+    jparams = {"rel": jnp.asarray(thead.rel.detach().numpy())}
+    loss_j = jhead.apply({"params": jparams}, emb_j, jnp.asarray(tri),
+                         jnp.asarray(neg_t), jnp.asarray(neg_h))
+    assert float(loss_j) == pytest.approx(loss_t.item(), rel=1e-5)
+    # gradients wrt the shared embeddings agree
+    emb_req = emb_t.detach().requires_grad_(True)
+    thead(emb_req, torch.from_numpy(tri), torch.from_numpy(neg_t),
+          torch.from_numpy(neg_h)).backward()
+    g_j = jax.grad(lambda e: jhead.apply({"params": jparams}, e, jnp.asarray(tri),
+                                         jnp.asarray(neg_t), jnp.asarray(neg_h)))(emb_j)
+    np.testing.assert_allclose(np.asarray(g_j), emb_req.grad.numpy(), rtol=1e-4, atol=1e-7)
+
+
+def test_attribute_head_parity(task):
+    import jax.numpy as jnp
+
+    from tpugraph.models.heads import AttributeHead
+
+    tmodel, adj_t, jmodel, params, op = _setup(task)
+    with torch.no_grad():
+        emb_t = tmodel(adj_t)
+    emb_j = jnp.asarray(emb_t.numpy())
+    attr = task.merged_attr_triples[:500].astype(np.int64)
+    n_attr = task.n_attr
+    thead = torch_ref.TorchAttributeHead(32, n_attr)
+    loss_t = thead(emb_t, torch.from_numpy(attr))
+    jhead = AttributeHead(n_attr=n_attr)
+    jparams = {"Dense_0": {"kernel": jnp.asarray(thead.lin.weight.detach().numpy().T),
+                           "bias": jnp.asarray(thead.lin.bias.detach().numpy())}}
+    loss_j = jhead.apply({"params": jparams}, emb_j, jnp.asarray(attr.astype(np.int32)))
+    assert float(loss_j) == pytest.approx(loss_t.item(), rel=1e-5)

@@ -236,3 +236,35 @@ def export_params(model: TorchGCN) -> dict:
         out["hw1"] = {"w": _np(model.hw1.lin.weight).T, "b": _np(model.hw1.lin.bias)}
         out["hw2"] = {"w": _np(model.hw2.lin.weight).T, "b": _np(model.hw2.lin.bias)}
     return out
+
+
+class TorchRelationHead(nn.Module):
+    """DistMult triple scorer — mirrors models/heads.RelationHead exactly."""
+
+    def __init__(self, n_rel: int, dim: int):
+        super().__init__()
+        self.rel = nn.Parameter(torch.randn(n_rel, dim) / dim**0.5)
+
+    def forward(self, emb, triples, neg_tails, neg_heads):
+        h = emb[triples[:, 0]]
+        r = self.rel[triples[:, 1]]
+        t = emb[triples[:, 2]]
+        pos = (h * r * t).sum(-1)
+        neg_t = torch.einsum("td,tkd->tk", h * r, emb[neg_tails])
+        neg_h = torch.einsum("td,tkd->tk", r * t, emb[neg_heads])
+        return (
+            -F.logsigmoid(pos).mean()
+            - 0.5 * (F.logsigmoid(-neg_t).mean() + F.logsigmoid(-neg_h).mean())
+        )
+
+
+class TorchAttributeHead(nn.Module):
+    """Categorical attribute prediction — mirrors models/heads.AttributeHead."""
+
+    def __init__(self, dim: int, n_attr: int):
+        super().__init__()
+        self.lin = nn.Linear(dim, n_attr)
+
+    def forward(self, emb, attr_triples):
+        logits = self.lin(emb[attr_triples[:, 0]])
+        return F.cross_entropy(logits, attr_triples[:, 1])
