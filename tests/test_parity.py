@@ -243,3 +243,28 @@ def test_attribute_head_parity(task):
                            "bias": jnp.asarray(thead.lin.bias.detach().numpy())}}
     loss_j = jhead.apply({"params": jparams}, emb_j, jnp.asarray(attr.astype(np.int32)))
     assert float(loss_j) == pytest.approx(loss_t.item(), rel=1e-5)
+
+
+def test_sinkhorn_loss_parity(task):
+    """config[2]: the OT alignment loss matches a torch reimplementation
+    (value + gradient wrt embeddings)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpugraph.train.ot import sinkhorn_align_loss
+
+    tmodel, adj_t, jmodel, params, op = _setup(task)
+    with torch.no_grad():
+        emb_t0 = tmodel(adj_t)
+    pairs = task.train_pairs.astype(np.int64)
+    emb_req = emb_t0.detach().requires_grad_(True)
+    loss_t = torch_ref.torch_sinkhorn_align_loss(emb_req, torch.from_numpy(pairs),
+                                                 tau=0.1, n_iters=12)
+    loss_t.backward()
+    emb_j = jnp.asarray(emb_t0.numpy())
+    jfn = lambda e: sinkhorn_align_loss(e, jnp.asarray(task.train_pairs),
+                                        tau=0.1, n_iters=12, block_q=64)
+    assert float(jfn(emb_j)) == pytest.approx(loss_t.item(), rel=1e-4)
+    g_j = jax.grad(jfn)(emb_j)
+    np.testing.assert_allclose(np.asarray(g_j), emb_req.grad.numpy(),
+                               rtol=5e-3, atol=1e-6)

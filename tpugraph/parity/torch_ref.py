@@ -268,3 +268,24 @@ class TorchAttributeHead(nn.Module):
     def forward(self, emb, attr_triples):
         logits = self.lin(emb[attr_triples[:, 0]])
         return F.cross_entropy(logits, attr_triples[:, 1])
+
+
+def torch_sinkhorn_align_loss(emb, pairs, tau=0.05, n_iters=20):
+    """Log-domain Sinkhorn OT alignment NLL — mirrors train/ot.py exactly
+    (sqeuclidean cost on L2-normalized seed embeddings, uniform marginals)."""
+    l = emb[pairs[:, 0]]
+    r = emb[pairs[:, 1]]
+    l = l / (l.norm(dim=-1, keepdim=True) + 1e-8)
+    r = r / (r.norm(dim=-1, keepdim=True) + 1e-8)
+    cost = torch.cdist(l, r, p=2) ** 2
+    n, m = cost.shape
+    log_mu = torch.full((n,), -torch.log(torch.tensor(float(n))))
+    log_nu = torch.full((m,), -torch.log(torch.tensor(float(m))))
+    f = torch.zeros(n)
+    g = torch.zeros(m)
+    for _ in range(n_iters):
+        f = tau * (log_mu - torch.logsumexp((g[None, :] - cost) / tau, dim=1))
+        g = tau * (log_nu - torch.logsumexp((f[:, None] - cost) / tau, dim=0))
+    log_p = (f[:, None] + g[None, :] - cost) / tau
+    ll = torch.diagonal(log_p) - torch.logsumexp(log_p, dim=1)
+    return -ll.mean()
