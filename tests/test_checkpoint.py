@@ -69,3 +69,34 @@ def test_restore_onto_different_mesh(tmp_path):
                                         "checkpoint_every": 0}), task=task)
     np.testing.assert_allclose(np.asarray(r8.params["emb"]),
                                np.asarray(ref.params["emb"]), rtol=1e-5, atol=1e-6)
+
+
+def test_resume_hard_mode_reproduces(tmp_path):
+    """Hard-negative mining resume: the checkpoint carries the interval's
+    negatives, so a mid-interval resume matches the uninterrupted run."""
+    task = synthetic_align_task(seed=14, n_ent=150, n_rel=5, n_triples=600)
+    kw = dict(dim=16, eval_every=0, k_neg=5, neg_every=4, neg_mode="hard",
+              pad_bucket=256, syn_n_ent=150)
+    full = fit(get_config("base", epochs=15, **kw), task=task)
+    ckdir = str(tmp_path / "ck")
+    cfg_a = get_config("base", epochs=10, checkpoint_dir=ckdir, checkpoint_every=6, **kw)
+    fit(cfg_a, task=task)  # saves at epoch 6 (mid-interval: boundary is 4)
+    resumed = fit(cfg_a.replace(epochs=15), task=task)
+    np.testing.assert_allclose(np.asarray(full.params["emb"]),
+                               np.asarray(resumed.params["emb"]), rtol=1e-5, atol=1e-6)
+
+
+def test_mtl_resume_reproduces(tmp_path):
+    from tpugraph.train.mtl import fit_mtl
+
+    task = synthetic_align_task(seed=15, n_ent=150, n_rel=5, n_triples=600, n_attr=16)
+    kw = dict(dim=16, eval_every=0, k_neg=5, neg_every=4, neg_mode="uniform",
+              pad_bucket=256, sinkhorn_iters=5, rel_k_neg=3, syn_n_ent=150)
+    full = fit_mtl(get_config("mtl", epochs=14, **kw), task=task)
+    ckdir = str(tmp_path / "ckm")
+    cfg_a = get_config("mtl", epochs=8, checkpoint_dir=ckdir, checkpoint_every=5, **kw)
+    fit_mtl(cfg_a, task=task)
+    resumed = fit_mtl(cfg_a.replace(epochs=14), task=task)
+    np.testing.assert_allclose(
+        np.asarray(full.params["encoder"]["emb"]),
+        np.asarray(resumed.params["encoder"]["emb"]), rtol=1e-5, atol=1e-6)

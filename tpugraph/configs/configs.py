@@ -57,7 +57,6 @@ class TrainConfig:
     sinkhorn_tau: float = 0.05  # entropic regularization temperature
     use_rel_head: bool = False
     rel_weight: float = 0.25
-    rel_dim: int = 128
     rel_k_neg: int = 10
     use_attr_head: bool = False
     attr_weight: float = 0.25

@@ -123,6 +123,11 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
                     verbose: bool = False) -> TrainResult:
     task = task or load_task(cfg)
     n_shards = cfg.n_shards
+    if cfg.dropout > 0 or cfg.param_dtype != "float32" or cfg.l2_normalize:
+        raise ValueError(
+            "fit_distributed does not support dropout/param_dtype/l2_normalize "
+            "yet — rejecting rather than silently ignoring the config"
+        )
     mesh = make_mesh(n_shards, cfg.feature_shards)
 
     src, dst, w = coo_from_triples(task.n_ent, task.merged_triples, n_rel=task.n_rel,
@@ -132,6 +137,8 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
     n_pad = hg.n_loc * n_shards
 
     hidden = cfg.hidden or cfg.dim
+    if cfg.highway and hidden != cfg.dim:
+        raise ValueError("highway gates require hidden == dim")
     key = jax.random.PRNGKey(cfg.seed)
     key, ik = jax.random.split(key)
     attr_all = task.merged_attr_triples
@@ -303,6 +310,8 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
     logger = MetricsLogger(cfg.metrics_path, config=cfg.to_dict())
     history = []
     batch = None
+    loss = jnp.nan  # guards relaunch-of-completed-run (loop body may not run)
+    aux = {}
     t_start = time.perf_counter()
     with mesh:
         for epoch in range(start_epoch, cfg.epochs):

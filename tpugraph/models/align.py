@@ -34,6 +34,7 @@ class AlignMTL(nn.Module):
         self.encoder = AlignGCN(
             n_ent=self.n_ent, dim=c.dim, hidden=c.hidden, highway=c.highway,
             dropout=c.dropout, spmm_impl=c.spmm_impl, compute_dtype=c.param_dtype,
+            l2_normalize=c.l2_normalize,
         )
         if c.use_rel_head:
             self.rel_head = RelationHead(n_rel=self.n_rel, dim=c.dim)

@@ -30,6 +30,11 @@ class AlignGCN(nn.Module):
 
     def setup(self):
         hidden = self.hidden or self.dim
+        if self.highway and hidden != self.dim:
+            raise ValueError(
+                f"highway gates require hidden == dim (got {hidden} != {self.dim}): "
+                "the gate interpolates pre/post-aggregation states of equal width"
+            )
         self.emb = self.param(
             "emb", nn.initializers.normal(stddev=1.0 / self.dim**0.5), (self.n_ent, self.dim)
         )

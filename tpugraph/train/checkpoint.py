@@ -36,6 +36,8 @@ class Checkpointer:
         if not self.enabled:
             return
         if force or (epoch > 0 and epoch % self.every == 0):
+            if self._mgr.latest_step() == epoch:
+                return  # already saved (e.g. forced final save after an in-loop save)
             import orbax.checkpoint as ocp
 
             self._mgr.save(epoch, args=ocp.args.StandardSave(state))

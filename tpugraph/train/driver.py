@@ -17,7 +17,8 @@ def run(cfg: TrainConfig, verbose: bool = False) -> TrainResult:
         from tpugraph.dist.trainer import fit_distributed
 
         return fit_distributed(cfg, verbose=verbose)
-    if cfg.use_sinkhorn or cfg.use_rel_head or cfg.use_attr_head:
+    if (cfg.use_sinkhorn or cfg.use_rel_head or cfg.use_attr_head
+            or cfg.use_attr_channel):
         from tpugraph.train.mtl import fit_mtl
 
         return fit_mtl(cfg, verbose=verbose)

@@ -123,6 +123,8 @@ def fit(
     if steps > 1 and steps != cfg.neg_every:
         raise ValueError("steps_per_call > 1 requires steps_per_call == neg_every "
                          "(one fused dispatch per resample interval)")
+    if steps > 1 and cfg.profile_dir:
+        raise ValueError("profile_dir requires steps_per_call=1 (per-epoch trace windows)")
 
     @jax.jit
     def train_interval(params, opt_state, epoch0):
@@ -176,16 +178,24 @@ def fit(
 
     ckpt = Checkpointer(cfg.checkpoint_dir, cfg.checkpoint_every)
     start_epoch = 0
-    state = {"params": params, "opt_state": opt_state}
+    # negatives are part of the state: a resume mid-interval must reuse the
+    # interval-boundary negatives (hard mode mines from boundary params —
+    # unreconstructable after the boundary; uniform is key-pinned but saved
+    # too for uniformity)
+    neg_shape = jax.ShapeDtypeStruct((pairs.shape[0], cfg.k_neg), jnp.int32)
+    state = {"params": params, "opt_state": opt_state,
+             "neg_l": neg_shape, "neg_r": neg_shape}
+    restored_negs = None
     restored = ckpt.restore_latest(abstract_like(state))
     if restored is not None:
         start_epoch, state = restored
         start_epoch += 1
         params, opt_state = state["params"], state["opt_state"]
+        restored_negs = (state["neg_l"], state["neg_r"])
 
     logger = MetricsLogger(cfg.metrics_path, config=cfg.to_dict())
     history = []
-    neg_l = neg_r = None
+    neg_l, neg_r = restored_negs if restored_negs is not None else (None, None)
     nnz = op.fwd.nnz
     loss = jnp.nan
     t_start = time.perf_counter()
@@ -215,7 +225,21 @@ def fit(
             jax.block_until_ready(loss)
             jax.profiler.stop_trace()
         last_of_chunk = epoch + steps - 1
-        ckpt.maybe_save(last_of_chunk, {"params": params, "opt_state": opt_state})
+        # window form (matches the eval condition): with steps > 1 the chunk
+        # ends are ≡ steps-1 (mod steps), so an exact `% every == 0` test
+        # would never fire
+        hit_window = ckpt.enabled and last_of_chunk > 0 and (
+            last_of_chunk % cfg.checkpoint_every < steps)
+        if ckpt.enabled and (hit_window or last_of_chunk >= cfg.epochs - 1):
+            if steps > 1:
+                # fused mode: chunks ARE resample intervals, so a resume at
+                # the chunk boundary re-mines identically; placeholder negs
+                nl_s = nr_s = jnp.zeros((pairs.shape[0], cfg.k_neg), jnp.int32)
+            else:
+                nl_s, nr_s = neg_l, neg_r
+            ckpt.maybe_save(last_of_chunk,
+                            {"params": params, "opt_state": opt_state,
+                             "neg_l": nl_s, "neg_r": nr_s}, force=True)
         if cfg.eval_every and (last_of_chunk % cfg.eval_every < steps
                                or last_of_chunk >= cfg.epochs - 1):
             m = hits_at_k(embed(params), jnp.asarray(task.test_pairs), csls_k=cfg.eval_csls_k)

@@ -79,9 +79,10 @@ def fit_mtl(cfg: TrainConfig, task: AlignTask | None = None, verbose: bool = Fal
             batch["attr_triples"] = _attr_batch(ks[2], attr_triples, attr_bs)
         return batch
 
-    key = jax.random.PRNGKey(cfg.seed)
-    key, init_key, bk = jax.random.split(key, 3)
-    params = model.init(init_key, op, make_batch(bk), attr_op=attr_op)["params"]
+    base_key = jax.random.PRNGKey(cfg.seed)
+    params = model.init(jax.random.fold_in(base_key, 2**30), op,
+                        make_batch(jax.random.fold_in(base_key, 2**31 - 1)),
+                        attr_op=attr_op)["params"]
     tx = optax.adam(cfg.lr)
     opt_state = tx.init(params)
 
@@ -103,20 +104,37 @@ def fit_mtl(cfg: TrainConfig, task: AlignTask | None = None, verbose: bool = Fal
     def embed(params):
         return model.apply({"params": params}, op, attr_op=attr_op, method=model.embed)
 
+    from tpugraph.train.checkpoint import Checkpointer, abstract_like
+
+    ckpt = Checkpointer(cfg.checkpoint_dir, cfg.checkpoint_every)
+    start_epoch = 0
+    batch = None
+    # state includes the batch: hard-mode resume mid-interval must reuse the
+    # interval-boundary negatives/corruptions (see train/loop.py)
+    probe_batch = make_batch(jax.random.fold_in(base_key, 2**31 - 2))
+    restored = ckpt.restore_latest(abstract_like(
+        {"params": params, "opt_state": opt_state, "batch": probe_batch}))
+    if restored is not None:
+        start_epoch, state = restored
+        start_epoch += 1
+        params, opt_state, batch = state["params"], state["opt_state"], state["batch"]
+
     logger = MetricsLogger(cfg.metrics_path, config=cfg.to_dict())
     history = []
-    batch = None
+    loss = jnp.nan
     t_start = time.perf_counter()
-    for epoch in range(cfg.epochs):
-        if epoch % cfg.neg_every == 0:
-            key, bk = jax.random.split(key)
+    for epoch in range(start_epoch, cfg.epochs):
+        if epoch % cfg.neg_every == 0 or batch is None:
+            # epoch-derived keys: deterministic across restarts and hosts
+            bk = jax.random.fold_in(base_key, epoch - epoch % cfg.neg_every)
             if cfg.neg_mode == "hard" and epoch > 0:
                 batch = make_batch_hard_jit(bk, params)
             else:
                 batch = make_batch_jit(bk)
         params, opt_state, loss, aux = train_step(
-            params, opt_state, batch, jax.random.fold_in(key, 2**29 + epoch)
+            params, opt_state, batch, jax.random.fold_in(base_key, 2**29 + epoch)
         )
+        ckpt.maybe_save(epoch, {"params": params, "opt_state": opt_state, "batch": batch})
         if cfg.eval_every and (epoch % cfg.eval_every == 0 or epoch == cfg.epochs - 1):
             m = hits_at_k(embed(params), jnp.asarray(task.test_pairs), csls_k=cfg.eval_csls_k)
             rec = {
