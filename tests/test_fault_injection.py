@@ -12,8 +12,8 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ARGS = [
     "--config", "base", "--quiet",
-    "--set", "epochs=16", "eval_every=0", "dim=16", "k_neg=5", "neg_every=4",
-    "neg_mode=uniform", "pad_bucket=256", "syn_n_ent=150", "syn_n_triples=600",
+    "--set", "epochs=60", "eval_every=0", "dim=24", "k_neg=5", "neg_every=4",
+    "neg_mode=uniform", "pad_bucket=512", "syn_n_ent=400", "syn_n_triples=1600",
     "checkpoint_every=4",
 ]
 
@@ -29,7 +29,7 @@ def _run(ckdir, env, kill_after_first_ckpt=False):
             steps = [d for d in (os.listdir(ckdir) if os.path.isdir(ckdir) else [])
                      if d.isdigit()]
             if steps:
-                time.sleep(0.5)  # let the save finish
+                time.sleep(0.2)  # let the save finish
                 p.send_signal(signal.SIGKILL)
                 p.wait()
                 return None

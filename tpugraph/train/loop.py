@@ -184,20 +184,23 @@ def fit(
     # too for uniformity)
     neg_shape = jax.ShapeDtypeStruct((pairs.shape[0], cfg.k_neg), jnp.int32)
     state = {"params": params, "opt_state": opt_state,
-             "neg_l": neg_shape, "neg_r": neg_shape}
+             "neg_l": neg_shape, "neg_r": neg_shape,
+             "loss": jax.ShapeDtypeStruct((), jnp.float32)}
     restored_negs = None
+    restored_loss = None
     restored = ckpt.restore_latest(abstract_like(state))
     if restored is not None:
         start_epoch, state = restored
         start_epoch += 1
         params, opt_state = state["params"], state["opt_state"]
         restored_negs = (state["neg_l"], state["neg_r"])
+        restored_loss = state["loss"]
 
     logger = MetricsLogger(cfg.metrics_path, config=cfg.to_dict())
     history = []
     neg_l, neg_r = restored_negs if restored_negs is not None else (None, None)
     nnz = op.fwd.nnz
-    loss = jnp.nan
+    loss = restored_loss if restored_loss is not None else jnp.nan
     t_start = time.perf_counter()
     for epoch in range(start_epoch, cfg.epochs, steps):
         if steps == 1 and (epoch % cfg.neg_every == 0 or neg_l is None):
@@ -239,7 +242,8 @@ def fit(
                 nl_s, nr_s = neg_l, neg_r
             ckpt.maybe_save(last_of_chunk,
                             {"params": params, "opt_state": opt_state,
-                             "neg_l": nl_s, "neg_r": nr_s}, force=True)
+                             "neg_l": nl_s, "neg_r": nr_s,
+                             "loss": jnp.float32(loss)}, force=True)
         if cfg.eval_every and (last_of_chunk % cfg.eval_every < steps
                                or last_of_chunk >= cfg.epochs - 1):
             m = hits_at_k(embed(params), jnp.asarray(task.test_pairs), csls_k=cfg.eval_csls_k)
