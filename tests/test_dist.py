@@ -176,3 +176,18 @@ def test_fit_distributed_hard_negatives_ring():
     r8 = fit_distributed(get_config("base", n_shards=8, **kw), task=task)
     assert r1.history[-1]["loss"] == pytest.approx(r8.history[-1]["loss"], rel=1e-3)
     assert r1.metrics["hits@1"] == pytest.approx(r8.metrics["hits@1"], abs=1e-6)
+
+
+def test_dist_interval_fusion_matches():
+    from tpugraph.configs import get_config
+    from tpugraph.data.synthetic import synthetic_align_task
+    from tpugraph.dist.trainer import fit_distributed
+
+    task = synthetic_align_task(seed=10, n_ent=120, n_rel=5, n_triples=500)
+    kw = dict(dim=16, epochs=16, eval_every=8, k_neg=4, neg_every=4,
+              neg_mode="hard", syn_n_ent=120, n_shards=4)
+    r1 = fit_distributed(get_config("base", steps_per_call=1, **kw), task=task)
+    r4 = fit_distributed(get_config("base", steps_per_call=4, **kw), task=task)
+    np.testing.assert_allclose(np.asarray(r1.params["emb"]),
+                               np.asarray(r4.params["emb"]), rtol=1e-5, atol=1e-6)
+    assert r1.metrics["hits@1"] == pytest.approx(r4.metrics["hits@1"], abs=1e-6)

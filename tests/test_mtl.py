@@ -70,3 +70,15 @@ def test_attr_operator_mean_aggregation():
     np.testing.assert_allclose(feats[0], [0.5, 0.5, 0, 0])
     np.testing.assert_allclose(feats[1], [0, 0, 1, 0])
     np.testing.assert_allclose(feats[2], 0.0)
+
+
+def test_mtl_interval_fusion_matches():
+    cfg_kw = dict(dim=24, epochs=20, eval_every=10, k_neg=8, neg_every=5,
+                  pad_bucket=1024, sinkhorn_iters=5, rel_k_neg=3, neg_mode="uniform")
+    t = _task()
+    r1 = fit_mtl(get_config("mtl", steps_per_call=1, **cfg_kw), task=t)
+    r5 = fit_mtl(get_config("mtl", steps_per_call=5, **cfg_kw), task=t)
+    np.testing.assert_allclose(np.asarray(r1.params["encoder"]["emb"]),
+                               np.asarray(r5.params["encoder"]["emb"]),
+                               rtol=1e-5, atol=1e-6)
+    assert r1.metrics["hits@1"] == r5.metrics["hits@1"]

@@ -307,6 +307,56 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
             batch["attr_triples"] = jnp.take(attr_triples, idx, axis=0)
         return batch
 
+    steps = max(1, cfg.steps_per_call)
+    if steps > 1 and steps != cfg.neg_every:
+        raise ValueError("steps_per_call > 1 requires steps_per_call == neg_every")
+
+    @jax.jit
+    def train_interval(params, opt_state, epoch0):
+        """Fused resample + neg_every steps (see train/loop.py rationale).
+        NOTE: dist checkpoints hold only params/opt_state, so resume is exact
+        at interval boundaries (which is where fused chunks always land)."""
+        bk = jax.random.fold_in(base_key, epoch0)
+        ks = jax.random.split(bk, 3)
+
+        def negs_uniform(_):
+            return sample_uniform_negatives(ks[0], pairs, n1, n, cfg.k_neg)
+
+        if cfg.neg_mode == "hard":
+            neg_l, neg_r = jax.lax.cond(
+                epoch0 > 0, lambda _: resample_hard(params), negs_uniform, None
+            )
+        else:
+            neg_l, neg_r = negs_uniform(None)
+        batch = {"neg_l": neg_l, "neg_r": neg_r}
+        if cfg.use_rel_head:
+            kt, kh = jax.random.split(ks[1])
+            t = rel_triples.shape[0]
+            batch["rel_neg_t"] = jax.random.randint(kt, (t, cfg.rel_k_neg), 0, n, dtype=jnp.int32)
+            batch["rel_neg_h"] = jax.random.randint(kh, (t, cfg.rel_k_neg), 0, n, dtype=jnp.int32)
+        if cfg.use_attr_head:
+            bs = min(8192, attr_triples.shape[0])
+            idx = jax.random.randint(ks[2], (bs,), 0, attr_triples.shape[0], dtype=jnp.int32)
+            batch["attr_triples"] = jnp.take(attr_triples, idx, axis=0)
+
+        def body(carry, _):
+            params, opt_state = carry
+
+            def loss_fn(p):
+                emb = encode(enc_sub(p), halo)
+                loss = margin_align_loss(emb, pairs, batch["neg_l"], batch["neg_r"], cfg.gamma)
+                extra, aux = head_losses(p, emb, batch)
+                return loss + extra, {"margin": loss, **aux}
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), (loss, aux)
+
+        (params, opt_state), (losses, auxs) = jax.lax.scan(
+            body, (params, opt_state), None, length=steps
+        )
+        return params, opt_state, losses[-1], jax.tree_util.tree_map(lambda a: a[-1], auxs)
+
     logger = MetricsLogger(cfg.metrics_path, config=cfg.to_dict())
     history = []
     batch = None
@@ -314,28 +364,36 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
     aux = {}
     t_start = time.perf_counter()
     with mesh:
-        for epoch in range(start_epoch, cfg.epochs):
-            if epoch % cfg.neg_every == 0 or batch is None:
-                batch = make_batch(epoch)
-            params, opt_state, loss, aux = train_step(params, opt_state, batch)
-            ckpt.maybe_save(epoch, {"params": params, "opt_state": opt_state})
-            if cfg.eval_every and (epoch % cfg.eval_every == 0 or epoch == cfg.epochs - 1):
+        for epoch in range(start_epoch, cfg.epochs, steps):
+            if steps > 1:
+                params, opt_state, loss, aux = train_interval(
+                    params, opt_state, jnp.int32(epoch)
+                )
+            else:
+                if epoch % cfg.neg_every == 0 or batch is None:
+                    batch = make_batch(epoch)
+                params, opt_state, loss, aux = train_step(params, opt_state, batch)
+            last = epoch + steps - 1
+            if ckpt.enabled and (
+                (last > 0 and last % cfg.checkpoint_every < steps) or last >= cfg.epochs - 1
+            ):
+                ckpt.maybe_save(last, {"params": params, "opt_state": opt_state}, force=True)
+            if cfg.eval_every and (last % cfg.eval_every < steps or last >= cfg.epochs - 1):
                 m = dist_eval(params)
                 wall = time.perf_counter() - t_start
                 rec = {
-                    "epoch": epoch, "loss": float(loss), "wall_s": round(wall, 3),
-                    "edges_per_s": round(hg.nnz * 2 * (epoch + 1) / max(wall, 1e-9), 1),
+                    "epoch": last, "loss": float(loss), "wall_s": round(wall, 3),
+                    "edges_per_s": round(hg.nnz * 2 * (last + 1) / max(wall, 1e-9), 1),
                     **{f"loss_{k}": float(v) for k, v in aux.items()},
                     **{k: round(v, 4) for k, v in m.items()},
                 }
                 history.append(rec)
                 logger.log(rec)
                 if verbose:
-                    print(f"[dist:{cfg.name}@{n_shards}] epoch {epoch} loss {rec['loss']:.4f} "
+                    print(f"[dist:{cfg.name}@{n_shards}] epoch {last} loss {rec['loss']:.4f} "
                           f"hits@1 {m['hits@1']:.3f}")
         final = dist_eval(params)
     final["final_loss"] = float(loss)
-    ckpt.maybe_save(cfg.epochs - 1, {"params": params, "opt_state": opt_state}, force=True)
     ckpt.close()
     logger.close()
     return TrainResult(params=params, metrics=final, history=history, task=task)

@@ -100,6 +100,41 @@ def fit_mtl(cfg: TrainConfig, task: AlignTask | None = None, verbose: bool = Fal
     make_batch_jit = jax.jit(make_batch)
     make_batch_hard_jit = jax.jit(lambda key, params: make_batch(key, params))
 
+    steps = max(1, cfg.steps_per_call)
+    if steps > 1 and steps != cfg.neg_every:
+        raise ValueError("steps_per_call > 1 requires steps_per_call == neg_every")
+
+    @jax.jit
+    def train_interval(params, opt_state, epoch0):
+        """Fused resample + neg_every steps (see train/loop.py rationale)."""
+        bk = jax.random.fold_in(base_key, epoch0)
+        if cfg.neg_mode == "hard":
+            batch = jax.lax.cond(
+                epoch0 > 0,
+                lambda _: make_batch(bk, params),
+                lambda _: make_batch(bk),
+                None,
+            )
+        else:
+            batch = make_batch(bk)
+
+        def body(carry, i):
+            params, opt_state = carry
+            sk = jax.random.fold_in(base_key, 2**29 + epoch0 + i)
+            rngs = {"dropout": sk} if cfg.dropout > 0 else None
+            (loss, aux), grads = jax.value_and_grad(
+                lambda p, b: model.apply({"params": p}, op, b, train=True, rngs=rngs,
+                                         attr_op=attr_op),
+                has_aux=True,
+            )(params, batch)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), (loss, aux)
+
+        (params, opt_state), (losses, auxs) = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(steps)
+        )
+        return params, opt_state, losses[-1], jax.tree_util.tree_map(lambda a: a[-1], auxs), batch
+
     @jax.jit
     def embed(params):
         return model.apply({"params": params}, op, attr_op=attr_op, method=model.embed)
@@ -123,22 +158,32 @@ def fit_mtl(cfg: TrainConfig, task: AlignTask | None = None, verbose: bool = Fal
     history = []
     loss = jnp.nan
     t_start = time.perf_counter()
-    for epoch in range(start_epoch, cfg.epochs):
-        if epoch % cfg.neg_every == 0 or batch is None:
-            # epoch-derived keys: deterministic across restarts and hosts
-            bk = jax.random.fold_in(base_key, epoch - epoch % cfg.neg_every)
-            if cfg.neg_mode == "hard" and epoch > 0:
-                batch = make_batch_hard_jit(bk, params)
-            else:
-                batch = make_batch_jit(bk)
-        params, opt_state, loss, aux = train_step(
-            params, opt_state, batch, jax.random.fold_in(base_key, 2**29 + epoch)
-        )
-        ckpt.maybe_save(epoch, {"params": params, "opt_state": opt_state, "batch": batch})
-        if cfg.eval_every and (epoch % cfg.eval_every == 0 or epoch == cfg.epochs - 1):
+    for epoch in range(start_epoch, cfg.epochs, steps):
+        if steps > 1:
+            params, opt_state, loss, aux, batch = train_interval(
+                params, opt_state, jnp.int32(epoch)
+            )
+        else:
+            if epoch % cfg.neg_every == 0 or batch is None:
+                # epoch-derived keys: deterministic across restarts and hosts
+                bk = jax.random.fold_in(base_key, epoch - epoch % cfg.neg_every)
+                if cfg.neg_mode == "hard" and epoch > 0:
+                    batch = make_batch_hard_jit(bk, params)
+                else:
+                    batch = make_batch_jit(bk)
+            params, opt_state, loss, aux = train_step(
+                params, opt_state, batch, jax.random.fold_in(base_key, 2**29 + epoch)
+            )
+        last = epoch + steps - 1
+        if ckpt.enabled and (
+            (last > 0 and last % cfg.checkpoint_every < steps) or last >= cfg.epochs - 1
+        ):
+            ckpt.maybe_save(last, {"params": params, "opt_state": opt_state,
+                                   "batch": batch}, force=True)
+        if cfg.eval_every and (last % cfg.eval_every < steps or last >= cfg.epochs - 1):
             m = hits_at_k(embed(params), jnp.asarray(task.test_pairs), csls_k=cfg.eval_csls_k)
             rec = {
-                "epoch": epoch,
+                "epoch": last,
                 "wall_s": round(time.perf_counter() - t_start, 3),
                 **{f"loss_{k}": float(v) for k, v in aux.items()},
                 **{k: round(v, 4) for k, v in m.items()},
@@ -147,7 +192,7 @@ def fit_mtl(cfg: TrainConfig, task: AlignTask | None = None, verbose: bool = Fal
             logger.log(rec)
             if verbose:
                 parts = " ".join(f"{k}={float(v):.4f}" for k, v in aux.items())
-                print(f"[mtl:{cfg.name}] epoch {epoch} {parts} hits@1 {m['hits@1']:.3f}")
+                print(f"[mtl:{cfg.name}] epoch {last} {parts} hits@1 {m['hits@1']:.3f}")
     final = hits_at_k(embed(params), jnp.asarray(task.test_pairs), csls_k=cfg.eval_csls_k)
     final["final_loss"] = float(loss)
     logger.close()
