@@ -1,0 +1,76 @@
+"""Time-to-accuracy harness — the second half of the north-star metric
+("DBP15K zh-en Hits@1 time-to-accuracy", BASELINE.json).
+
+Trains the pinned benchmark task and reports the wall-clock seconds of
+training (compile excluded via a warmup interval, and included separately)
+until Hits@1 reaches the target — by default the parity oracle's measured
+Hits@1 minus 1 point (BASELINE.md row).
+
+    python scripts/time_to_accuracy.py                 # real chip, dbp5k task
+    JAX_PLATFORMS=cpu python scripts/time_to_accuracy.py --target 0.15
+
+Prints one JSON line.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--target", type=float, default=0.22,
+                    help="Hits@1 to reach (default: oracle 0.2317 - 1pt)")
+    ap.add_argument("--n-ent", type=int, default=5000)
+    ap.add_argument("--n-triples", type=int, default=15000)
+    ap.add_argument("--max-epochs", type=int, default=600)
+    ap.add_argument("--eval-every", type=int, default=20)
+    ap.add_argument("--fast", action="store_true",
+                    help="fused intervals + approx MXU mining")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+    from tpugraph.configs import get_config
+    from tpugraph.data.synthetic import synthetic_align_task
+    from tpugraph.train.loop import fit
+
+    task = synthetic_align_task(seed=42, n_ent=args.n_ent, n_rel=60,
+                                n_triples=args.n_triples, drop_frac=0.1, noise_frac=0.1)
+    kw = dict(dim=128, epochs=args.max_epochs, eval_every=args.eval_every,
+              lr=2e-3, gamma=10.0, k_neg=50, neg_every=5, neg_mode="hard")
+    if args.fast:
+        kw.update(steps_per_call=5, neg_metric="sqeuclidean", neg_approx=True)
+    cfg = get_config("base", **kw)
+
+    t0 = time.perf_counter()
+    res = fit(cfg, task=task)
+    wall_total = time.perf_counter() - t0
+
+    hit_epoch = hit_wall = None
+    first_wall = res.history[0]["wall_s"] if res.history else 0.0
+    for rec in res.history:
+        if rec["hits@1"] >= args.target:
+            hit_epoch = rec["epoch"]
+            hit_wall = rec["wall_s"]
+            break
+    print(json.dumps({
+        "metric": "hits@1_time_to_accuracy",
+        "target_hits@1": args.target,
+        "reached": hit_epoch is not None,
+        "epochs_to_target": hit_epoch,
+        "train_seconds_to_target_excl_compile": (
+            round(hit_wall - first_wall, 2) if hit_wall is not None else None),
+        "seconds_to_target_incl_compile": round(hit_wall, 2) if hit_wall else None,
+        "final_hits@1": round(res.metrics["hits@1"], 4),
+        "total_wall_s": round(wall_total, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
