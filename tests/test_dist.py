@@ -191,3 +191,30 @@ def test_dist_interval_fusion_matches():
     np.testing.assert_allclose(np.asarray(r1.params["emb"]),
                                np.asarray(r4.params["emb"]), rtol=1e-5, atol=1e-6)
     assert r1.metrics["hits@1"] == pytest.approx(r4.metrics["hits@1"], abs=1e-6)
+
+
+def test_fit_distributed_highway_weighted_variant():
+    """config[1] shape distributed: funifun weights + rw norm + highway."""
+    from tpugraph.configs import get_config
+    from tpugraph.data.synthetic import synthetic_align_task
+    from tpugraph.dist.trainer import fit_distributed
+
+    task = synthetic_align_task(seed=11, n_ent=120, n_rel=5, n_triples=500)
+    kw = dict(dim=16, epochs=10, eval_every=5, k_neg=4, neg_every=5,
+              neg_mode="uniform", syn_n_ent=120, weighting="funifun",
+              norm="rw", highway=True)
+    r1 = fit_distributed(get_config("highway", n_shards=1, **kw), task=task)
+    r8 = fit_distributed(get_config("highway", n_shards=8, **kw), task=task)
+    assert r1.history[-1]["loss"] == pytest.approx(r8.history[-1]["loss"], rel=1e-4)
+    assert np.isfinite(r8.metrics["hits@1"])
+
+
+def test_fit_distributed_rejects_unsupported():
+    from tpugraph.configs import get_config
+    from tpugraph.dist.trainer import fit_distributed
+
+    for bad in (dict(dropout=0.5), dict(use_attr_channel=True),
+                dict(param_dtype="bfloat16")):
+        cfg = get_config("base", n_shards=2, syn_n_ent=64, syn_n_triples=200, **bad)
+        with pytest.raises(ValueError, match="does not support"):
+            fit_distributed(cfg)

@@ -123,10 +123,11 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
                     verbose: bool = False) -> TrainResult:
     task = task or load_task(cfg)
     n_shards = cfg.n_shards
-    if cfg.dropout > 0 or cfg.param_dtype != "float32" or cfg.l2_normalize:
+    if (cfg.dropout > 0 or cfg.param_dtype != "float32" or cfg.l2_normalize
+            or cfg.use_attr_channel):
         raise ValueError(
-            "fit_distributed does not support dropout/param_dtype/l2_normalize "
-            "yet — rejecting rather than silently ignoring the config"
+            "fit_distributed does not support dropout/param_dtype/l2_normalize/"
+            "use_attr_channel yet — rejecting rather than silently ignoring"
         )
     mesh = make_mesh(n_shards, cfg.feature_shards)
 
