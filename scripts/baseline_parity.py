@@ -22,7 +22,13 @@ SCALES = {
     # the pinned baseline task: DBP15K-shaped at 5k entities/side
     "dbp5k": dict(n_ent=5000, n_rel=60, n_triples=15000, seed=42),
 }
-HP = dict(dim=128, epochs=400, lr=2e-3, gamma=10.0, k_neg=50, neg_every=5)
+RECIPES = {
+    # v1: the original round-1 pinned recipe (BASELINE.md rows measured with it)
+    "v1": dict(dim=128, epochs=400, lr=2e-3, gamma=10.0, k_neg=50, neg_every=5),
+    # v2: round-1 tuned recipe (harder negative pressure) — +2.7 Hits@1 on the
+    # pinned task for BOTH systems (parity preserved)
+    "v2": dict(dim=128, epochs=600, lr=2e-3, gamma=15.0, k_neg=100, neg_every=2),
+}
 
 
 VARIANTS = {
@@ -37,9 +43,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", default="dbp5k", choices=sorted(SCALES))
     ap.add_argument("--variant", default="base", choices=sorted(VARIANTS))
+    ap.add_argument("--recipe", default="v1", choices=sorted(RECIPES))
     ap.add_argument("--skip-oracle", action="store_true")
     args = ap.parse_args()
     var = VARIANTS[args.variant]
+    HP = RECIPES[args.recipe]
 
     from tpugraph.data.synthetic import synthetic_align_task
 
