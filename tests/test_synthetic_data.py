@@ -51,3 +51,26 @@ def test_dbp15k_reader_roundtrip(tmp_path):
     assert sorted(map(tuple, allp)) == [(0, 3), (1, 4), (2, 5)]
     m = task.merged_triples
     assert m.shape == (4, 3) and m[:, 1].max() == 2  # kg2 rels offset by kg1.n_rel=1
+
+
+def test_dbp15k_reader_attrs_and_sup(tmp_path):
+    """Attribute triples + sup_ent_ids (train split provided by the dataset)."""
+    from tpugraph.data.dbp15k import load_dbp15k
+
+    d = tmp_path / "ja_en"
+    d.mkdir()
+    (d / "ent_ids_1").write_text("0\ta\n1\tb\n")
+    (d / "ent_ids_2").write_text("5\tx\n6\ty\n")
+    (d / "triples_1").write_text("0\t9\t1\n")
+    (d / "triples_2").write_text("5\t3\t6\n")
+    (d / "ref_ent_ids").write_text("0\t5\n1\t6\n")
+    (d / "sup_ent_ids").write_text("0\t5\n")
+    (d / "att_triples_1").write_text("0\t2\n1\t0\n")
+    (d / "att_triples_2").write_text("5\t1\n")
+    task = load_dbp15k(str(tmp_path), "ja_en")
+    # sup file becomes the train split; ref becomes test
+    np.testing.assert_array_equal(task.train_pairs, [[0, 2]])
+    assert len(task.test_pairs) == 2
+    assert task.n_attr == 3
+    a = task.merged_attr_triples
+    assert sorted(map(tuple, a)) == [(0, 2), (1, 0), (2, 1)]
