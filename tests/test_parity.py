@@ -268,3 +268,19 @@ def test_sinkhorn_loss_parity(task):
     g_j = jax.grad(jfn)(emb_j)
     np.testing.assert_allclose(np.asarray(g_j), emb_req.grad.numpy(),
                                rtol=5e-3, atol=1e-6)
+
+
+def test_csls_eval_parity(task):
+    """CSLS-corrected ranking matches between the torch oracle and tpugraph."""
+    import jax.numpy as jnp
+
+    from tpugraph.train.eval import hits_at_k
+
+    tmodel, adj_t, jmodel, params, op = _setup(task)
+    with torch.no_grad():
+        emb_t = tmodel(adj_t)
+    m_t = torch_ref.get_hits(emb_t, task.test_pairs, csls_k=5)
+    m_j = hits_at_k(jnp.asarray(emb_t.numpy()), jnp.asarray(task.test_pairs),
+                    block_c=128, csls_k=5)
+    for k in ("hits@1", "hits@10", "mrr"):
+        assert m_j[k] == pytest.approx(m_t[k], abs=2e-3), k

@@ -151,12 +151,18 @@ def sample_hard_negatives(emb: torch.Tensor, pairs: np.ndarray, n_ent_1: int, n_
     return neg_l.astype(np.int64), neg_r.astype(np.int64)
 
 
-def get_hits(emb: torch.Tensor, test_pairs: np.ndarray, ks=(1, 10)) -> dict:
-    """Family-style eval: dense cityblock cdist over test entities, both directions."""
+def get_hits(emb: torch.Tensor, test_pairs: np.ndarray, ks=(1, 10), csls_k: int = 0) -> dict:
+    """Family-style eval: dense cityblock cdist over test entities, both
+    directions; csls_k > 0 applies the CSLS hubness correction (mirrors
+    tpugraph.train.eval semantics)."""
     with torch.no_grad():
         l = emb[torch.from_numpy(test_pairs[:, 0].astype(np.int64))]
         r = emb[torch.from_numpy(test_pairs[:, 1].astype(np.int64))]
         d = torch.cdist(l, r, p=1)  # (S, S)
+        if csls_k > 0:
+            rl = d.topk(csls_k, dim=1, largest=False).values.mean(1)  # left hubness
+            rr = d.topk(csls_k, dim=0, largest=False).values.mean(0)  # right hubness
+            d = 2.0 * d - rl.unsqueeze(1) - rr.unsqueeze(0)
         out = {}
         for axis, tag in ((1, "l2r"), (0, "r2l")):
             ranks = (d < d.diagonal().unsqueeze(axis)).sum(dim=axis)
