@@ -51,11 +51,15 @@ class EllMatrix:
 
 
 def _bucket_caps(max_deg: int) -> list[int]:
-    caps, k = [], 1
+    """Exact-degree buckets for small degrees (zero padding where most rows
+    live — KG degree distributions are bottom-heavy), power-of-two above."""
+    caps = [k for k in range(1, 9) if k <= max_deg]
+    k = 16
     while k < max_deg:
         caps.append(k)
         k *= 2
-    caps.append(max(max_deg, 1))
+    if not caps or caps[-1] < max_deg:
+        caps.append(max(max_deg, 1))
     return caps
 
 
