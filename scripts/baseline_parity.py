@@ -45,9 +45,13 @@ def main():
     ap.add_argument("--variant", default="base", choices=sorted(VARIANTS))
     ap.add_argument("--recipe", default="v1", choices=sorted(RECIPES))
     ap.add_argument("--skip-oracle", action="store_true")
+    ap.add_argument("--eval-csls", type=int, default=0,
+                    help=">0: CSLS hubness-corrected eval ranking (both systems)")
+    ap.add_argument("--neg-csls", type=int, default=0,
+                    help=">0: CSLS hubness-corrected hard mining (both systems)")
     args = ap.parse_args()
     var = VARIANTS[args.variant]
-    HP = RECIPES[args.recipe]
+    HP = dict(RECIPES[args.recipe], neg_csls_k=args.neg_csls)
 
     from tpugraph.data.synthetic import synthetic_align_task
 
@@ -57,7 +61,8 @@ def main():
     if not args.skip_oracle:
         from tpugraph.parity.torch_ref import train_oracle
 
-        _, m = train_oracle(task, neg_mode="hard", **HP, **var)
+        _, m = train_oracle(task, neg_mode="hard", eval_csls_k=args.eval_csls,
+                            **HP, **var)
         results["torch_oracle"] = m
         print(json.dumps({"system": "torch_oracle_cpu", "scale": args.scale,
                           "variant": args.variant,
@@ -66,7 +71,8 @@ def main():
     from tpugraph.configs import get_config
     from tpugraph.train.loop import fit
 
-    cfg = get_config("base", neg_mode="hard", eval_every=100, **HP, **var)
+    cfg = get_config("base", neg_mode="hard", eval_every=100,
+                     eval_csls_k=args.eval_csls, **HP, **var)
     res = fit(cfg, task=task)
     results["tpugraph"] = res.metrics
     print(json.dumps({"system": "tpugraph", "scale": args.scale,

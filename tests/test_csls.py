@@ -48,3 +48,49 @@ def test_csls_zero_is_plain_eval():
     a = hits_at_k(jnp.asarray(emb), jnp.asarray(pairs), block_c=16)
     b = hits_at_k(jnp.asarray(emb), jnp.asarray(pairs), block_c=16, csls_k=0)
     assert a == b
+
+
+def test_csls_hard_mining_matches_oracle():
+    """JAX blockwise CSLS mining == torch oracle dense CSLS mining (exact path)."""
+    import jax.numpy as jnp
+    import torch
+
+    from tpugraph.parity import torch_ref
+    from tpugraph.train.negatives import sample_hard_negatives
+
+    rng = np.random.default_rng(3)
+    n1, n2, d, s, k = 90, 110, 10, 40, 4
+    n = n1 + n2
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    pairs = np.stack([rng.choice(n1, s, replace=False),
+                      n1 + rng.choice(n2, s, replace=False)], 1).astype(np.int32)
+    nl_t, nr_t = torch_ref.sample_hard_negatives(
+        torch.from_numpy(emb), pairs, n1, n, k=k, csls_k=5)
+    nl_j, nr_j = sample_hard_negatives(jnp.asarray(emb), jnp.asarray(pairs),
+                                       n1, n, k=k, block_c=32, csls_k=5)
+    np.testing.assert_array_equal(np.sort(np.asarray(nl_j), 1), np.sort(nl_t, 1))
+    np.testing.assert_array_equal(np.sort(np.asarray(nr_j), 1), np.sort(nr_t, 1))
+
+
+def test_csls_mining_approx_close_to_exact():
+    """approx (query-blocked + hubness pre-pass) recall vs exact CSLS mining."""
+    import jax.numpy as jnp
+
+    from tpugraph.train.negatives import sample_hard_negatives
+
+    rng = np.random.default_rng(4)
+    n1, n2, d, s, k = 120, 140, 16, 50, 8
+    n = n1 + n2
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    pairs = np.stack([rng.choice(n1, s, replace=False),
+                      n1 + rng.choice(n2, s, replace=False)], 1).astype(np.int32)
+    ex_l, ex_r = sample_hard_negatives(jnp.asarray(emb), jnp.asarray(pairs),
+                                       n1, n, k=k, block_c=64, csls_k=5)
+    ap_l, ap_r = sample_hard_negatives(jnp.asarray(emb), jnp.asarray(pairs),
+                                       n1, n, k=k, csls_k=5, approx=True)
+    # approx_min_k has high recall on CPU at this scale; require >= 80% overlap
+    def recall(a, b):
+        hits = [len(set(np.asarray(a)[i]) & set(np.asarray(b)[i])) for i in range(s)]
+        return sum(hits) / (s * k)
+    assert recall(ex_l, ap_l) >= 0.8
+    assert recall(ex_r, ap_r) >= 0.8

@@ -49,6 +49,13 @@ class TrainConfig:
     neg_mode: str = "hard"  # 'uniform' | 'hard'
     neg_approx: bool = False  # approx_min_k hard mining (fast; sampling-safe)
     neg_metric: str = "cityblock"  # hard-mining metric; 'sqeuclidean' rides the MXU (use at DWY100K scale)
+    neg_csls_k: int = 0  # >0: CSLS hubness-corrected hard mining (2·d − cand-hubness)
+
+    # --- bootstrapped pair augmentation (BootEA/MRAEA-style, stateless) ---
+    boot_cap: int = 0  # >0: propose up to this many mutual-NN pairs per interval
+    boot_start: int = 100  # first epoch eligible for proposals
+    boot_weight: float = 1.0  # loss weight of proposed pairs
+    boot_csls_k: int = 0  # >0: CSLS-scored mutual-NN matching
 
     # --- auxiliary heads (configs 2/3) ---
     use_sinkhorn: bool = False

@@ -110,14 +110,23 @@ def margin_align_loss(
     neg_l: torch.Tensor,  # (S, k) long — corruptions of the right side's partner
     neg_r: torch.Tensor,  # (S, k) long — corruptions of the left side's partner
     gamma: float = 3.0,
+    weights: torch.Tensor | None = None,  # (S,) per-pair weight; None = uniform
 ) -> torch.Tensor:
-    """Margin ranking loss with k negatives per side (L1 distance)."""
+    """Margin ranking loss with k negatives per side (L1 distance).
+
+    ``weights`` mirrors tpugraph.train.losses.margin_align_loss: each side's
+    mean becomes Σ w·ReLU / (Σ w · k) (bootstrapped-pair augmentation)."""
     e_l, e_r = emb[pairs[:, 0]], emb[pairs[:, 1]]
     d_pos = (e_l - e_r).abs().sum(-1, keepdim=True)  # (S, 1)
     d_neg_r = (e_l.unsqueeze(1) - emb[neg_r]).abs().sum(-1)  # (S, k)
     d_neg_l = (emb[neg_l] - e_r.unsqueeze(1)).abs().sum(-1)  # (S, k)
-    loss = F.relu(d_pos + gamma - d_neg_r).mean() + F.relu(d_pos + gamma - d_neg_l).mean()
-    return 0.5 * loss
+    h_r = F.relu(d_pos + gamma - d_neg_r)
+    h_l = F.relu(d_pos + gamma - d_neg_l)
+    if weights is None:
+        return 0.5 * (h_r.mean() + h_l.mean())
+    w = weights.unsqueeze(1)
+    denom = weights.sum().clamp_min(1e-9) * neg_r.shape[1]
+    return 0.5 * ((w * h_r).sum() + (w * h_l).sum()) / denom
 
 
 def sample_negatives(rng: np.random.Generator, pairs: np.ndarray, n_ent_1: int, n_ent: int,
@@ -130,11 +139,16 @@ def sample_negatives(rng: np.random.Generator, pairs: np.ndarray, n_ent_1: int, 
 
 
 def sample_hard_negatives(emb: torch.Tensor, pairs: np.ndarray, n_ent_1: int, n_ent: int,
-                          k: int) -> tuple[np.ndarray, np.ndarray]:
+                          k: int, csls_k: int = 0) -> tuple[np.ndarray, np.ndarray]:
     """Truncated nearest-neighbour negatives (HGCN/RDGCN-style ε-sampling):
     for each seed pair, the k embedding-space-closest non-partner entities of
     the opposite KG.  Dense cdist over the candidate pools (fine on CPU at
-    DBP15K scale; the JAX side does this blockwise on device)."""
+    DBP15K scale; the JAX side does this blockwise on device).
+
+    csls_k > 0 ranks by the CSLS-adjusted score 2·d(q,j) − r(j), with r(j) the
+    candidate's mean distance to its csls_k nearest queries (hubness computed
+    on UNMASKED distances; the per-row query-side term cancels in a row's
+    top-k).  Mirrors tpugraph.train.negatives.sample_hard_negatives."""
     with torch.no_grad():
         l = emb[torch.from_numpy(pairs[:, 0].astype(np.int64))]
         r = emb[torch.from_numpy(pairs[:, 1].astype(np.int64))]
@@ -142,13 +156,58 @@ def sample_hard_negatives(emb: torch.Tensor, pairs: np.ndarray, n_ent_1: int, n_
         cand_r = emb[n_ent_1:n_ent]  # KG2 entities
         # negatives for the right slot: KG2 entities closest to e_l
         d_lr = torch.cdist(l, cand_r, p=1)
+        if csls_k > 0:
+            hub = d_lr.topk(csls_k, dim=0, largest=False).values.mean(0)
+            d_lr = 2.0 * d_lr - hub.unsqueeze(0)
         d_lr[torch.arange(len(pairs)), torch.from_numpy(pairs[:, 1] - n_ent_1).long()] = float("inf")
         neg_r = d_lr.topk(k, largest=False).indices.numpy() + n_ent_1
         # negatives for the left slot: KG1 entities closest to e_r
         d_rl = torch.cdist(r, cand_l, p=1)
+        if csls_k > 0:
+            hub = d_rl.topk(csls_k, dim=0, largest=False).values.mean(0)
+            d_rl = 2.0 * d_rl - hub.unsqueeze(0)
         d_rl[torch.arange(len(pairs)), torch.from_numpy(pairs[:, 0]).long()] = float("inf")
         neg_l = d_rl.topk(k, largest=False).indices.numpy()
     return neg_l.astype(np.int64), neg_r.astype(np.int64)
+
+
+def propose_mutual_nn_pairs(emb: torch.Tensor, mask1: np.ndarray, mask2: np.ndarray,
+                            n1: int, n: int, cap: int, csls_k: int = 0
+                            ) -> tuple[np.ndarray, np.ndarray]:
+    """BootEA/MRAEA-style stateless mutual-NN pair proposal — mirrors
+    tpugraph.train.bootstrap.propose_mutual_nn_pairs (dense cdist oracle).
+
+    Returns (pairs (cap, 2) global ids, weight (cap,) in {0,1})."""
+    with torch.no_grad():
+        cand1, cand2 = emb[:n1], emb[n1:n]
+        d = torch.cdist(cand1, cand2, p=1)  # (n1, n2)
+        if csls_k > 0:
+            hub2 = d.topk(csls_k, dim=0, largest=False).values.mean(0)  # (n2,)
+            hub1 = d.topk(csls_k, dim=1, largest=False).values.mean(1)  # (n1,)
+            s12 = 2.0 * d - hub2.unsqueeze(0)
+            s21 = 2.0 * d.T - hub1.unsqueeze(0)
+        else:
+            s12, s21 = d, d.T
+        m1 = torch.from_numpy(mask1.astype(bool))
+        m2 = torch.from_numpy(mask2.astype(bool))
+        s12 = s12.masked_fill(~m2.unsqueeze(0), float("inf"))
+        s21 = s21.masked_fill(~m1.unsqueeze(0), float("inf"))
+        v12, i12 = s12.min(dim=1)
+        i21 = s21.argmin(dim=1)
+        mutual = m1 & (i21[i12] == torch.arange(n1))
+        score = torch.where(mutual, v12, torch.tensor(float("inf")))
+        vals, left = score.topk(min(cap, n1), largest=False)
+        left = left[: cap]
+        vals = vals[: cap]
+        weight = torch.isfinite(vals).float()
+        right = i12[left] + n1
+        pairs = torch.stack([left, right], dim=1)
+        pairs[weight == 0] = torch.tensor([0, n1])
+        if cap > n1:  # pad (tiny graphs)
+            pad = cap - n1
+            pairs = torch.cat([pairs, torch.tensor([[0, n1]]).repeat(pad, 1)], 0)
+            weight = torch.cat([weight, torch.zeros(pad)], 0)
+    return pairs.numpy().astype(np.int64), weight.numpy().astype(np.float32)
 
 
 def get_hits(emb: torch.Tensor, test_pairs: np.ndarray, ks=(1, 10), csls_k: int = 0) -> dict:
@@ -187,8 +246,14 @@ def train_oracle(
     norm: str = "sym",
     highway: bool = False,
     neg_mode: str = "hard",  # 'uniform' | 'hard'
+    neg_csls_k: int = 0,  # >0: CSLS hubness-corrected hard mining
+    boot_cap: int = 0,  # >0: bootstrapped mutual-NN pair augmentation capacity
+    boot_start: int = 100,
+    boot_weight: float = 1.0,
+    boot_csls_k: int = 0,
     seed: int = 0,
     eval_every: int = 50,
+    eval_csls_k: int = 0,
     verbose: bool = False,
 ) -> tuple[TorchGCN, dict]:
     """Full-graph training loop (family train.py shape). Returns model + final metrics."""
@@ -198,28 +263,46 @@ def train_oracle(
                           weighting=weighting, norm=norm)
     model = TorchGCN(task.n_ent, dim, highway=highway)
     opt = torch.optim.Adam(model.parameters(), lr=lr)
+    n1 = task.kg1.n_ent
+    mask1 = np.ones(n1, bool)
+    mask1[task.train_pairs[:, 0]] = False
+    mask2 = np.ones(task.n_ent - n1, bool)
+    mask2[task.train_pairs[:, 1] - n1] = False
     pairs = torch.from_numpy(task.train_pairs.astype(np.int64))
+    w_t = None
     neg_l = neg_r = None
     metrics = {}
     for epoch in range(epochs):
         if epoch % neg_every == 0:
+            pairs_np = task.train_pairs
+            w_t = None
+            if boot_cap > 0 and epoch >= boot_start and epoch > 0:
+                with torch.no_grad():
+                    bp, bw = propose_mutual_nn_pairs(model(adj), mask1, mask2,
+                                                     n1, task.n_ent, boot_cap,
+                                                     csls_k=boot_csls_k)
+                pairs_np = np.concatenate([task.train_pairs.astype(np.int64), bp], 0)
+                w_t = torch.cat([torch.ones(len(task.train_pairs)),
+                                 torch.from_numpy(bw) * boot_weight])
             if neg_mode == "hard" and epoch > 0:
                 with torch.no_grad():
-                    nl, nr = sample_hard_negatives(model(adj), task.train_pairs,
-                                                   task.kg1.n_ent, task.n_ent, k_neg)
+                    nl, nr = sample_hard_negatives(model(adj), pairs_np,
+                                                   task.kg1.n_ent, task.n_ent, k_neg,
+                                                   csls_k=neg_csls_k)
             else:
-                nl, nr = sample_negatives(rng, task.train_pairs, task.kg1.n_ent, task.n_ent, k_neg)
+                nl, nr = sample_negatives(rng, pairs_np, task.kg1.n_ent, task.n_ent, k_neg)
             neg_l, neg_r = torch.from_numpy(nl), torch.from_numpy(nr)
+            pairs = torch.from_numpy(pairs_np.astype(np.int64))
         opt.zero_grad()
         emb = model(adj)
-        loss = margin_align_loss(emb, pairs, neg_l, neg_r, gamma)
+        loss = margin_align_loss(emb, pairs, neg_l, neg_r, gamma, weights=w_t)
         loss.backward()
         opt.step()
         if verbose and (epoch % eval_every == 0 or epoch == epochs - 1):
             h = get_hits(model(adj), task.test_pairs)
             print(f"[oracle] epoch {epoch} loss {loss.item():.4f} "
                   f"hits@1 {h['hits@1']:.3f} hits@10 {h['hits@10']:.3f}")
-    metrics = get_hits(model(adj), task.test_pairs)
+    metrics = get_hits(model(adj), task.test_pairs, csls_k=eval_csls_k)
     metrics["final_loss"] = float(loss.item())
     return model, metrics
 

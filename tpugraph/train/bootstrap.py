@@ -1,0 +1,109 @@
+"""Bootstrapped pair augmentation (BootEA/MRAEA-style, stateless).
+
+Semi-supervised entity alignment: every resample interval (after a warmup),
+propose new alignment pairs as **mutual nearest neighbours** between the two
+KGs' non-seed entities, keep the ``cap`` most confident, and add them to the
+margin loss with a (down-)weight.  The proposal is *stateless* — recomputed
+from the current embeddings each interval (the MRAEA/RREA convention), so it
+needs no growing buffers: TPU-friendly static shapes throughout.
+
+The reference family ships no bootstrapping (mount empty — SURVEY.md §0);
+this covers the BootEA-lineage capability at the same API layer as hard
+negative mining.  Oracle mirror: parity/torch_ref.propose_mutual_nn_pairs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from tpugraph.train.losses import pairwise_l1
+
+
+@partial(jax.jit, static_argnames=("block_c", "metric", "csls_k"))
+def _nn1(
+    q: jnp.ndarray,  # (S, d) queries
+    cands: jnp.ndarray,  # (C, d)
+    c_mask: jnp.ndarray,  # (C,) bool — eligible candidates
+    block_c: int = 1024,
+    metric: str = "cityblock",
+    csls_k: int = 0,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-query (score, index) of the nearest eligible candidate, blockwise.
+
+    csls_k > 0 scores by 2·d − candidate-hubness (hubness over the full,
+    unmasked query pool — same convention as negatives.blockwise_knn_l1)."""
+    s, d = q.shape
+    c = cands.shape[0]
+    c_pad = ((c + block_c - 1) // block_c) * block_c
+    cands_p = jnp.concatenate([cands, jnp.zeros((c_pad - c, d), cands.dtype)])
+    mask_p = jnp.concatenate([c_mask, jnp.zeros((c_pad - c,), bool)])
+    blocks = cands_p.reshape(c_pad // block_c, block_c, d)
+    mblocks = mask_p.reshape(c_pad // block_c, block_c)
+    offsets = jnp.arange(c_pad // block_c, dtype=jnp.int32) * block_c
+    q32 = q.astype(jnp.float32)
+    q2 = jnp.sum(q32 * q32, axis=1)
+
+    def body(carry, blk):
+        rv, ri = carry
+        cb, mb, off = blk
+        if metric == "sqeuclidean":
+            c32 = cb.astype(jnp.float32)
+            dmat = (q2[:, None] + jnp.sum(c32 * c32, axis=1)[None, :]
+                    - 2.0 * jnp.dot(q32, c32.T, preferred_element_type=jnp.float32))
+        else:
+            dmat = pairwise_l1(q[:, None, :], cb[None, :, :]).astype(jnp.float32)
+        if csls_k > 0:
+            r_neg, _ = jax.lax.top_k(-dmat.T, csls_k)
+            r = -r_neg.mean(axis=1)
+            dmat = 2.0 * dmat - r[None, :]
+        dmat = jnp.where(mb[None, :], dmat, jnp.inf)
+        bv = dmat.min(axis=1)
+        bi = off + jnp.argmin(dmat, axis=1).astype(jnp.int32)
+        take = bv < rv
+        return (jnp.where(take, bv, rv), jnp.where(take, bi, ri)), None
+
+    init = (jnp.full((s,), jnp.inf, jnp.float32), jnp.zeros((s,), jnp.int32))
+    (vals, idx), _ = jax.lax.scan(body, init, (blocks, mblocks, offsets))
+    return vals, idx
+
+
+@partial(jax.jit, static_argnames=("n1", "n", "cap", "block_c", "metric", "csls_k"))
+def propose_mutual_nn_pairs(
+    emb: jnp.ndarray,  # (n, d) all entity embeddings (KG1 = [:n1], KG2 = [n1:n])
+    mask1: jnp.ndarray,  # (n1,) bool — KG1 entities eligible (not in the seed set)
+    mask2: jnp.ndarray,  # (n − n1,) bool — KG2 eligible (local ids)
+    n1: int,
+    n: int,
+    cap: int,
+    block_c: int = 1024,
+    metric: str = "cityblock",
+    csls_k: int = 0,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-``cap`` most-confident mutual-NN pairs among eligible entities.
+
+    Returns ``(pairs, weight)``: pairs (cap, 2) int32 with GLOBAL entity ids,
+    weight (cap,) float32 in {0, 1} (0 = padding row when fewer than cap
+    mutual pairs exist).  Confidence = the direction-1 matching score (raw
+    distance, or the CSLS-adjusted score when csls_k > 0); smaller = kept.
+    """
+    cand1 = jax.lax.slice_in_dim(emb, 0, n1, axis=0)
+    cand2 = jax.lax.slice_in_dim(emb, n1, n, axis=0)
+    v12, i12 = _nn1(cand1, cand2, mask2, block_c, metric, csls_k)
+    _, i21 = _nn1(cand2, cand1, mask1, block_c, metric, csls_k)
+    mutual = mask1 & (jnp.take(i21, i12) == jnp.arange(n1, dtype=jnp.int32))
+    score = jnp.where(mutual, v12, jnp.inf)
+    k_eff = min(cap, n1)
+    neg_top, left = jax.lax.top_k(-score, k_eff)
+    weight = jnp.isfinite(-neg_top).astype(jnp.float32)
+    right = jnp.take(i12, left) + n1
+    pairs = jnp.stack([left.astype(jnp.int32), right.astype(jnp.int32)], axis=1)
+    # padding rows: zero out ids so downstream gathers stay in range
+    pairs = jnp.where(weight[:, None] > 0, pairs, jnp.array([0, n1], jnp.int32))
+    if k_eff < cap:  # tiny graphs: pad up to the static capacity
+        pairs = jnp.concatenate(
+            [pairs, jnp.tile(jnp.array([0, n1], jnp.int32), (cap - k_eff, 1))], 0)
+        weight = jnp.concatenate([weight, jnp.zeros(cap - k_eff, jnp.float32)], 0)
+    return pairs, weight

@@ -98,11 +98,41 @@ def fit(
 
     pairs = jnp.asarray(task.train_pairs)
     n1, n = task.kg1.n_ent, task.n_ent
+    s_seed = pairs.shape[0]
 
-    def loss_fn(params, neg_l, neg_r, step_key):
+    use_boot = cfg.boot_cap > 0
+    if use_boot:
+        import numpy as _np
+
+        from tpugraph.train.bootstrap import propose_mutual_nn_pairs
+
+        _m1 = _np.ones(n1, bool)
+        _m1[task.train_pairs[:, 0]] = False
+        _m2 = _np.ones(n - n1, bool)
+        _m2[task.train_pairs[:, 1] - n1] = False
+        mask1, mask2 = jnp.asarray(_m1), jnp.asarray(_m2)
+        ones_seed = jnp.ones((s_seed,), jnp.float32)
+        boot_placeholder = (
+            jnp.tile(jnp.array([0, n1], jnp.int32), (cfg.boot_cap, 1)),
+            jnp.zeros((cfg.boot_cap,), jnp.float32),
+        )
+
+        def propose(params):
+            emb = model.apply({"params": params}, op)
+            return propose_mutual_nn_pairs(
+                emb, mask1, mask2, n1, n, cfg.boot_cap,
+                metric=cfg.neg_metric, csls_k=cfg.boot_csls_k)
+
+        propose_jit = jax.jit(propose)
+
+        def with_boot(bp, bw):
+            return (jnp.concatenate([pairs, bp], 0),
+                    jnp.concatenate([ones_seed, bw * cfg.boot_weight], 0))
+
+    def loss_fn(params, pairs_t, weights, neg_l, neg_r, step_key):
         rngs = {"dropout": step_key} if cfg.dropout > 0 else None
         emb = model.apply({"params": params}, op, train=True, rngs=rngs)
-        loss = margin_align_loss(emb, pairs, neg_l, neg_r, cfg.gamma)
+        loss = margin_align_loss(emb, pairs_t, neg_l, neg_r, cfg.gamma, weights)
         aux = {"margin": loss}
         if extra_loss_fn is not None:
             extra, extra_aux = extra_loss_fn(emb, params)
@@ -111,9 +141,9 @@ def fit(
         return loss, aux
 
     @jax.jit
-    def train_step(params, opt_state, neg_l, neg_r, step_key):
+    def train_step(params, opt_state, pairs_t, weights, neg_l, neg_r, step_key):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, neg_l, neg_r, step_key
+            params, pairs_t, weights, neg_l, neg_r, step_key
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -134,17 +164,26 @@ def fit(
         at DBP15K scale.  Semantics identical to the unfused path (bitwise
         test in tests/test_train_e2e.py)."""
 
+        if use_boot:
+            bp, bw = jax.lax.cond(
+                (epoch0 >= cfg.boot_start) & (epoch0 > 0),
+                lambda _: propose(params), lambda _: boot_placeholder, None)
+            pairs_t, weights = with_boot(bp, bw)
+        else:
+            pairs_t, weights = pairs, None
+
         def uni_negs(_):
             return sample_uniform_negatives(
-                jax.random.fold_in(base_key, epoch0), pairs, n1, n, cfg.k_neg
+                jax.random.fold_in(base_key, epoch0), pairs_t, n1, n, cfg.k_neg
             )
 
         if cfg.neg_mode == "hard":
             def hard_negs(_):
                 emb = model.apply({"params": params}, op)
-                return sample_hard_negatives(emb, pairs, n1, n, cfg.k_neg,
+                return sample_hard_negatives(emb, pairs_t, n1, n, cfg.k_neg,
                                              metric=cfg.neg_metric,
-                                             approx=cfg.neg_approx)
+                                             approx=cfg.neg_approx,
+                                             csls_k=cfg.neg_csls_k)
 
             neg_l, neg_r = jax.lax.cond(epoch0 > 0, hard_negs, uni_negs, None)
         else:
@@ -154,7 +193,7 @@ def fit(
             params, opt_state = carry
             sk = jax.random.fold_in(base_key, 2**29 + epoch0 + i)
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, neg_l, neg_r, sk
+                params, pairs_t, weights, neg_l, neg_r, sk
             )
             updates, opt_state = tx.update(grads, opt_state, params)
             return (optax.apply_updates(params, updates), opt_state), (loss, aux)
@@ -166,9 +205,10 @@ def fit(
         return params, opt_state, losses[-1], last_aux
 
     @jax.jit
-    def resample_hard(params):
+    def resample_hard(params, pairs_t):
         emb = model.apply({"params": params}, op)
-        return sample_hard_negatives(emb, pairs, n1, n, cfg.k_neg, metric=cfg.neg_metric, approx=cfg.neg_approx)
+        return sample_hard_negatives(emb, pairs_t, n1, n, cfg.k_neg, metric=cfg.neg_metric,
+                                     approx=cfg.neg_approx, csls_k=cfg.neg_csls_k)
 
     @jax.jit
     def embed(params):
@@ -181,12 +221,18 @@ def fit(
     # negatives are part of the state: a resume mid-interval must reuse the
     # interval-boundary negatives (hard mode mines from boundary params —
     # unreconstructable after the boundary; uniform is key-pinned but saved
-    # too for uniformity)
-    neg_shape = jax.ShapeDtypeStruct((pairs.shape[0], cfg.k_neg), jnp.int32)
+    # too for uniformity).  With bootstrapping, the boundary's proposed pairs
+    # are state for the same reason.
+    s_all = s_seed + (cfg.boot_cap if use_boot else 0)
+    neg_shape = jax.ShapeDtypeStruct((s_all, cfg.k_neg), jnp.int32)
     state = {"params": params, "opt_state": opt_state,
              "neg_l": neg_shape, "neg_r": neg_shape,
              "loss": jax.ShapeDtypeStruct((), jnp.float32)}
+    if use_boot:
+        state["boot_pairs"] = jax.ShapeDtypeStruct((cfg.boot_cap, 2), jnp.int32)
+        state["boot_w"] = jax.ShapeDtypeStruct((cfg.boot_cap,), jnp.float32)
     restored_negs = None
+    restored_boot = None
     restored_loss = None
     restored = ckpt.restore_latest(abstract_like(state))
     if restored is not None:
@@ -194,11 +240,19 @@ def fit(
         start_epoch += 1
         params, opt_state = state["params"], state["opt_state"]
         restored_negs = (state["neg_l"], state["neg_r"])
+        if use_boot:
+            restored_boot = (state["boot_pairs"], state["boot_w"])
         restored_loss = state["loss"]
 
     logger = MetricsLogger(cfg.metrics_path, config=cfg.to_dict())
     history = []
     neg_l, neg_r = restored_negs if restored_negs is not None else (None, None)
+    if use_boot:
+        cur_boot = restored_boot if restored_boot is not None else boot_placeholder
+        pairs_t, weights = with_boot(*cur_boot)
+    else:
+        cur_boot = None
+        pairs_t, weights = pairs, None
     nnz = op.fwd.nnz
     loss = restored_loss if restored_loss is not None else jnp.nan
     t_start = time.perf_counter()
@@ -206,13 +260,19 @@ def fit(
         if steps == 1 and (epoch % cfg.neg_every == 0 or neg_l is None):
             # keys derived from (seed, epoch): deterministic across restarts
             # and identical on every host (SURVEY.md §7 hard part 6)
+            if use_boot:
+                if epoch >= cfg.boot_start and epoch > 0:
+                    cur_boot = propose_jit(params)
+                else:
+                    cur_boot = boot_placeholder
+                pairs_t, weights = with_boot(*cur_boot)
             if cfg.neg_mode == "hard" and epoch > 0:
-                neg_l, neg_r = resample_hard(params)
+                neg_l, neg_r = resample_hard(params, pairs_t)
             else:
                 # key pinned to the interval's boundary epoch so a resume
                 # mid-interval reproduces the same negatives
                 nk = jax.random.fold_in(base_key, epoch - epoch % cfg.neg_every)
-                neg_l, neg_r = sample_uniform_negatives(nk, pairs, n1, n, cfg.k_neg)
+                neg_l, neg_r = sample_uniform_negatives(nk, pairs_t, n1, n, cfg.k_neg)
         if cfg.profile_dir and epoch == start_epoch + 2:
             jax.profiler.start_trace(cfg.profile_dir)
         if steps > 1:
@@ -221,7 +281,7 @@ def fit(
             )
         else:
             params, opt_state, loss, aux = train_step(
-                params, opt_state, neg_l, neg_r,
+                params, opt_state, pairs_t, weights, neg_l, neg_r,
                 jax.random.fold_in(base_key, 2**29 + epoch),
             )
         if cfg.profile_dir and epoch == start_epoch + 5:
@@ -236,14 +296,19 @@ def fit(
         if ckpt.enabled and (hit_window or last_of_chunk >= cfg.epochs - 1):
             if steps > 1:
                 # fused mode: chunks ARE resample intervals, so a resume at
-                # the chunk boundary re-mines identically; placeholder negs
-                nl_s = nr_s = jnp.zeros((pairs.shape[0], cfg.k_neg), jnp.int32)
+                # the chunk boundary re-mines (and re-proposes) identically;
+                # placeholder negs/boot
+                nl_s = nr_s = jnp.zeros((s_all, cfg.k_neg), jnp.int32)
+                boot_s = boot_placeholder if use_boot else None
             else:
                 nl_s, nr_s = neg_l, neg_r
-            ckpt.maybe_save(last_of_chunk,
-                            {"params": params, "opt_state": opt_state,
-                             "neg_l": nl_s, "neg_r": nr_s,
-                             "loss": jnp.float32(loss)}, force=True)
+                boot_s = cur_boot
+            save_state = {"params": params, "opt_state": opt_state,
+                          "neg_l": nl_s, "neg_r": nr_s,
+                          "loss": jnp.float32(loss)}
+            if use_boot:
+                save_state["boot_pairs"], save_state["boot_w"] = boot_s
+            ckpt.maybe_save(last_of_chunk, save_state, force=True)
         if cfg.eval_every and (last_of_chunk % cfg.eval_every < steps
                                or last_of_chunk >= cfg.epochs - 1):
             m = hits_at_k(embed(params), jnp.asarray(task.test_pairs), csls_k=cfg.eval_csls_k)

@@ -25,10 +25,16 @@ def margin_align_loss(
     neg_l: jnp.ndarray,  # (S, k) int32 — corruptions of the left entity
     neg_r: jnp.ndarray,  # (S, k) int32 — corruptions of the right entity
     gamma: float = 10.0,
+    weights: jnp.ndarray | None = None,  # (S,) per-pair weight; None = uniform
 ) -> jnp.ndarray:
     """Margin ranking loss, k negatives per side, L1 distance.
 
     0.5 * (mean ReLU(d⁺ + γ − d(e_l, neg_r)) + mean ReLU(d⁺ + γ − d(neg_l, e_r)))
+
+    ``weights`` enables bootstrapped-pair augmentation (masked/down-weighted
+    rows): each side's mean becomes Σ w·ReLU / (Σ w · k).  With weights of all
+    ones this is bitwise the unweighted form's value up to the same reduction
+    order; parity with torch_ref.margin_align_loss is tested either way.
     """
     import chex
 
@@ -40,6 +46,10 @@ def margin_align_loss(
     d_pos = pairwise_l1(e_l, e_r)[:, None]  # (S, 1)
     d_neg_r = pairwise_l1(e_l[:, None, :], jnp.take(emb, neg_r, axis=0))  # (S, k)
     d_neg_l = pairwise_l1(jnp.take(emb, neg_l, axis=0), e_r[:, None, :])  # (S, k)
-    loss_r = jnp.maximum(d_pos + gamma - d_neg_r, 0.0).mean()
-    loss_l = jnp.maximum(d_pos + gamma - d_neg_l, 0.0).mean()
-    return 0.5 * (loss_r + loss_l)
+    h_r = jnp.maximum(d_pos + gamma - d_neg_r, 0.0)
+    h_l = jnp.maximum(d_pos + gamma - d_neg_l, 0.0)
+    if weights is None:
+        return 0.5 * (h_r.mean() + h_l.mean())
+    w = weights[:, None]
+    denom = jnp.maximum(weights.sum(), 1e-9) * neg_r.shape[1]
+    return 0.5 * ((w * h_r).sum() + (w * h_l).sum()) / denom

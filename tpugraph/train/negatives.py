@@ -41,7 +41,7 @@ def _topk_merge(run_vals, run_idx, new_vals, new_idx, k):
     return -neg_top, jnp.take_along_axis(idx, pos, axis=1)
 
 
-@partial(jax.jit, static_argnames=("k", "block_c", "metric", "approx"))
+@partial(jax.jit, static_argnames=("k", "block_c", "metric", "approx", "csls_k"))
 def blockwise_knn_l1(
     q: jnp.ndarray,  # (S, d) queries
     cands: jnp.ndarray,  # (C, d) candidate pool
@@ -50,6 +50,7 @@ def blockwise_knn_l1(
     block_c: int = 1024,
     metric: str = "cityblock",
     approx: bool = False,
+    csls_k: int = 0,
 ) -> jnp.ndarray:
     """Indices (into cands) of the k nearest candidates per query.
 
@@ -62,11 +63,17 @@ def blockwise_knn_l1(
     no running-merge loop (measured: the exact candidate-block merge costs
     seconds at zh-en scale because XLA top_k is a full sort per merge, while
     the MXU tile + approx_min_k is ~ms).  Negatives are a sampling strategy,
-    so approximate neighbors are semantically fine."""
+    so approximate neighbors are semantically fine.
+
+    csls_k > 0 mines by the CSLS-adjusted score 2·d(q,j) − r(j) instead of
+    raw distance (r(j) = candidate j's mean distance to its csls_k nearest
+    queries — Conneau et al.; the query-side hubness term is constant within
+    a row so it cannot change a row's top-k and is dropped).  Matches
+    parity/torch_ref.sample_hard_negatives(csls_k=...)."""
     s, d = q.shape
     c = cands.shape[0]
     if approx:
-        return _knn_query_blocked_approx(q, cands, exclude, k, metric)
+        return _knn_query_blocked_approx(q, cands, exclude, k, metric, csls_k=csls_k)
     c_pad = ((c + block_c - 1) // block_c) * block_c
     # pad value: inf is fine for L1; for the matmul form it would produce
     # 0*inf = nan, so use a large finite sentinel there
@@ -93,6 +100,13 @@ def blockwise_knn_l1(
                                     preferred_element_type=jnp.float32))
         else:
             dmat = pairwise_l1(q[:, None, :], cb[None, :, :]).astype(jnp.float32)  # (S, Bc)
+        if csls_k > 0:
+            # candidate hubness from the UNMASKED block column (every query is
+            # present in each candidate block, so this is exact, not blockwise)
+            r_neg, _ = jax.lax.top_k(-dmat.T, csls_k)  # (Bc, csls_k)
+            r = -r_neg.mean(axis=1)
+            r = jnp.where(jnp.isfinite(r), r, 0.0)  # padding cols: keep inf−inf out
+            dmat = 2.0 * dmat - r[None, :]
         cidx = off + jax.lax.broadcasted_iota(jnp.int32, (s, block_c), 1)
         dmat = jnp.where(cidx == exclude[:, None], jnp.inf, dmat)
         return _topk_merge(rv, ri, dmat, cidx, k), None
@@ -101,7 +115,33 @@ def blockwise_knn_l1(
     return idx
 
 
-def _knn_query_blocked_approx(q, cands, exclude, k, metric, block_q: int = 4096):
+def _cand_hubness(q, cands, csls_k, metric, block_c: int = 4096):
+    """r(j) = mean distance of candidate j to its csls_k nearest queries,
+    blockwise over candidates (one (Bc, S) tile per step)."""
+    s, d = q.shape
+    c = cands.shape[0]
+    c_pad = ((c + block_c - 1) // block_c) * block_c
+    cp = jnp.concatenate([cands, jnp.zeros((c_pad - c, d), cands.dtype)])
+    cb = cp.reshape(c_pad // block_c, block_c, d)
+    q32 = q.astype(jnp.float32)
+    q2 = jnp.sum(q32 * q32, axis=1)
+
+    def body(_, blk):
+        if metric == "sqeuclidean":
+            b32 = blk.astype(jnp.float32)
+            dmat = (jnp.sum(b32 * b32, axis=1)[:, None] + q2[None, :]
+                    - 2.0 * jnp.dot(b32, q32.T, preferred_element_type=jnp.float32))
+        else:
+            dmat = pairwise_l1(blk[:, None, :], q[None, :, :]).astype(jnp.float32)  # (Bc, S)
+        r_neg, _ = jax.lax.top_k(-dmat, csls_k)
+        return None, -r_neg.mean(axis=1)
+
+    _, r = jax.lax.scan(body, None, cb)
+    return r.reshape(c_pad)[:c]
+
+
+def _knn_query_blocked_approx(q, cands, exclude, k, metric, block_q: int = 4096,
+                              csls_k: int = 0):
     """Query-blocked approx k-NN: one full-width MXU distance tile per query
     block, one approx_min_k per tile.  Tile memory = block_q × C × 4 bytes."""
     s, d = q.shape
@@ -112,6 +152,9 @@ def _knn_query_blocked_approx(q, cands, exclude, k, metric, block_q: int = 4096)
     qb = qp.reshape(q_pad // block_q, block_q, d)
     eb = ep.reshape(q_pad // block_q, block_q)
     c2 = jnp.sum(cands.astype(jnp.float32) ** 2, axis=1)
+    r_cand = (_cand_hubness(q, cands, csls_k, metric) if csls_k > 0
+              else jnp.zeros((c,), jnp.float32))
+    scale = 2.0 if csls_k > 0 else 1.0
 
     def body(_, blk):
         qq, ex = blk
@@ -121,6 +164,7 @@ def _knn_query_blocked_approx(q, cands, exclude, k, metric, block_q: int = 4096)
                                     preferred_element_type=jnp.float32))
         else:
             dmat = pairwise_l1(qq[:, None, :], cands[None, :, :]).astype(jnp.float32)
+        dmat = scale * dmat - r_cand[None, :]
         cidx = jax.lax.broadcasted_iota(jnp.int32, (block_q, c), 1)
         dmat = jnp.where(cidx == ex[:, None], jnp.inf, dmat)
         _, idx = jax.lax.approx_min_k(dmat, k)
@@ -139,15 +183,18 @@ def sample_hard_negatives(
     block_c: int = 1024,
     metric: str = "cityblock",
     approx: bool = False,
+    csls_k: int = 0,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Truncated k-NN negatives: the k closest non-partner entities of the
     opposite KG, in current embedding space (semantics match
-    parity/torch_ref.sample_hard_negatives)."""
+    parity/torch_ref.sample_hard_negatives).  csls_k > 0 ranks candidates by
+    the CSLS-adjusted score (hubness-corrected hard mining)."""
     e_l = jnp.take(emb, pairs[:, 0], axis=0)
     e_r = jnp.take(emb, pairs[:, 1], axis=0)
     cand_l = jax.lax.slice_in_dim(emb, 0, n_ent_1, axis=0)
     cand_r = jax.lax.slice_in_dim(emb, n_ent_1, n_ent, axis=0)
     neg_r = blockwise_knn_l1(e_l, cand_r, pairs[:, 1] - n_ent_1, k, block_c, metric,
-                             approx) + n_ent_1
-    neg_l = blockwise_knn_l1(e_r, cand_l, pairs[:, 0], k, block_c, metric, approx)
+                             approx, csls_k) + n_ent_1
+    neg_l = blockwise_knn_l1(e_r, cand_l, pairs[:, 0], k, block_c, metric, approx,
+                             csls_k)
     return neg_l, neg_r
