@@ -49,9 +49,16 @@ def main():
                     help=">0: CSLS hubness-corrected eval ranking (both systems)")
     ap.add_argument("--neg-csls", type=int, default=0,
                     help=">0: CSLS hubness-corrected hard mining (both systems)")
+    ap.add_argument("--boot-cap", type=int, default=0,
+                    help=">0: bootstrapped mutual-NN pair augmentation capacity")
+    ap.add_argument("--boot-start", type=int, default=200)
+    ap.add_argument("--boot-weight", type=float, default=0.5)
+    ap.add_argument("--boot-csls", type=int, default=0)
     args = ap.parse_args()
     var = VARIANTS[args.variant]
-    HP = dict(RECIPES[args.recipe], neg_csls_k=args.neg_csls)
+    HP = dict(RECIPES[args.recipe], neg_csls_k=args.neg_csls,
+              boot_cap=args.boot_cap, boot_start=args.boot_start,
+              boot_weight=args.boot_weight, boot_csls_k=args.boot_csls)
 
     from tpugraph.data.synthetic import synthetic_align_task
 

@@ -209,12 +209,73 @@ def test_fit_distributed_highway_weighted_variant():
     assert np.isfinite(r8.metrics["hits@1"])
 
 
+def test_fit_distributed_attr_channel():
+    """GCN-Align AE channel in the sharded trainer: edge-partitioned attribute
+    incidence + β-combined SE‖AE eval; N=8 ≡ N=1."""
+    from tpugraph.configs import get_config
+    from tpugraph.data.synthetic import synthetic_align_task
+    from tpugraph.dist.trainer import fit_distributed
+
+    task = synthetic_align_task(seed=13, n_ent=120, n_rel=5, n_triples=500, n_attr=16)
+    kw = dict(dim=16, epochs=8, eval_every=4, k_neg=6, neg_every=4,
+              neg_mode="uniform", syn_n_ent=120, use_attr_channel=True,
+              attr_beta=0.8)
+    r1 = fit_distributed(get_config("base", n_shards=1, **kw), task=task)
+    r8 = fit_distributed(get_config("base", n_shards=8, **kw), task=task)
+    h1, h8 = r1.history[-1], r8.history[-1]
+    for k in ("loss_margin", "loss_ae"):
+        assert np.isfinite(h1[k]) and np.isfinite(h8[k]), k
+        assert h1[k] == pytest.approx(h8[k], rel=1e-3), k
+    # params are the strong invariant (hits can flip a rank on fp noise at
+    # this tiny scale: 28 test pairs, combined-channel distances)
+    np.testing.assert_allclose(np.asarray(r1.params["emb"]),
+                               np.asarray(r8.params["emb"]), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r1.params["attr_emb"]),
+                               np.asarray(r8.params["attr_emb"]), rtol=1e-4, atol=1e-6)
+    assert r1.metrics["hits@1"] == pytest.approx(r8.metrics["hits@1"], abs=0.05)
+
+
+def test_dist_attr_incidence_matches_single_device():
+    """Stacked incidence ELL == the single-device attr operator's SpMM."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    from tpugraph.dist.mesh import make_mesh
+    from tpugraph.kernels.spmm_ell import spmm_ell
+    from tpugraph.models.attr_channel import build_attr_operator
+    from tpugraph.sparse.halo_ell import build_attr_incidence_ell, squeeze_shard
+
+    rng = np.random.default_rng(2)
+    n_ent, n_attr, n_shards = 96, 20, 4
+    attr_triples = np.stack(
+        [rng.integers(0, n_ent, 400), rng.integers(0, n_attr, 400)], 1)
+    n_loc = (n_ent + n_shards - 1) // n_shards
+    inc = build_attr_incidence_ell(attr_triples, n_ent, n_attr, n_shards, n_loc)
+    mesh = make_mesh(n_shards, 1)
+    from jax.sharding import NamedSharding
+
+    inc = jax.device_put(inc, NamedSharding(mesh, P("graph")))
+    attr_emb = rng.standard_normal((n_attr, 8)).astype(np.float32)
+
+    @partial(shard_map, mesh=mesh, in_specs=(P("graph"), P()),
+             out_specs=P("graph", None))
+    def apply(op, x):
+        return spmm_ell(squeeze_shard(op), x)
+
+    got = np.asarray(apply(inc, jnp.asarray(attr_emb)))[:n_ent]
+    ref_op = build_attr_operator(attr_triples, n_ent, n_attr, fmt="ell")
+    want = np.asarray(spmm_ell(ref_op, jnp.asarray(attr_emb)))[:n_ent]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 def test_fit_distributed_rejects_unsupported():
     from tpugraph.configs import get_config
     from tpugraph.dist.trainer import fit_distributed
 
-    for bad in (dict(dropout=0.5), dict(use_attr_channel=True),
-                dict(param_dtype="bfloat16")):
+    for bad in (dict(dropout=0.5), dict(param_dtype="bfloat16")):
         cfg = get_config("base", n_shards=2, syn_n_ent=64, syn_n_triples=200, **bad)
         with pytest.raises(ValueError, match="does not support"):
             fit_distributed(cfg)

@@ -36,8 +36,11 @@ from tpugraph.train.negatives import sample_hard_negatives, sample_uniform_negat
 
 
 def init_params(key, n_pad: int, dim: int, hidden: int, highway: bool,
-                n_rel: int = 0, n_attr: int = 0):
-    ks = jax.random.split(key, 8)
+                n_rel: int = 0, n_attr: int = 0, n_attr_channel: int = 0):
+    """n_attr > 0 adds the categorical attribute HEAD (attr_out);
+    n_attr_channel > 0 adds the GCN-Align AE CHANNEL params (attr_emb +
+    ae_gc1/ae_gc2) — independent capabilities."""
+    ks = jax.random.split(key, 10)
     xavier = jax.nn.initializers.xavier_uniform()
     p = {
         "emb": jax.random.normal(ks[0], (n_pad, dim)) / dim**0.5,
@@ -51,16 +54,26 @@ def init_params(key, n_pad: int, dim: int, hidden: int, highway: bool,
         p["rel"] = jax.random.normal(ks[5], (n_rel, dim)) / dim**0.5
     if n_attr:
         p["attr_out"] = {"w": xavier(ks[6], (dim, n_attr)), "b": jnp.zeros((n_attr,))}
+    if n_attr_channel:
+        p["attr_emb"] = jax.random.normal(ks[7], (n_attr_channel, dim)) / dim**0.5
+        p["ae_gc1"] = {"w": xavier(ks[8], (dim, dim)), "b": jnp.zeros((dim,))}
+        p["ae_gc2"] = {"w": xavier(ks[9], (dim, dim)), "b": jnp.zeros((dim,))}
     return p
 
 
-def make_encoder(mesh, halo, highway: bool, impl: str = "sorted"):
-    """Returns encode(params, halo) -> (N_pad, d), row-sharded on 'graph'.
+def make_encoder(mesh, halo, highway: bool, impl: str = "sorted",
+                 attr_channel: bool = False):
+    """Returns encode(params, halo[, attr_op]) -> (N_pad, d) row-sharded on
+    'graph' — or an (se, ae) pair when ``attr_channel`` (GCN-Align AE).
 
     The shard_map body mirrors models/encoder.py AlignGCN exactly (parity
     is asserted in tests/test_dist.py); only the SpMM is halo-exchanged.
     ``impl``: 'sorted' (segment-sum groups, HaloGraph) or 'ell' (scatter-free
     stacked ELL operators, HaloEll — the fast path, see docs/DESIGN.md §2).
+    The AE channel (models/attr_channel.py semantics) takes a stacked
+    incidence EllOperator (sparse/halo_ell.build_attr_incidence_ell): its
+    sources (attr embeddings) are replicated, so only the adjacency
+    propagation needs the halo exchange.
     """
     repl = P()
 
@@ -74,12 +87,16 @@ def make_encoder(mesh, halo, highway: bool, impl: str = "sorted"):
                 "gc2": {"w": repl, "b": repl},
                 **({"hw1": {"w": repl, "b": repl}, "hw2": {"w": repl, "b": repl}}
                    if highway else {}),
+                **({"attr_emb": repl,
+                    "ae_gc1": {"w": repl, "b": repl},
+                    "ae_gc2": {"w": repl, "b": repl}} if attr_channel else {}),
             },
             P("graph"),  # halo operator: prefix spec — every leaf splits dim 0
-        ),
-        out_specs=P("graph", None),
+        ) + ((P("graph"),) if attr_channel else ()),
+        out_specs=(P("graph", None), P("graph", None)) if attr_channel
+        else P("graph", None),
     )
-    def encode(params, hs):
+    def encode(params, hs, *attr_ops):
         if impl == "ell":
             from tpugraph.dist.halo import halo_spmm_ell
             from tpugraph.sparse.halo_ell import squeeze_shard
@@ -114,7 +131,20 @@ def make_encoder(mesh, halo, highway: bool, impl: str = "sorted"):
         if highway:
             t2 = jax.nn.sigmoid(h @ params["hw2"]["w"] + params["hw2"]["b"])
             h2 = t2 * h2 + (1.0 - t2) * h
-        return h2
+        if not attr_channel:
+            return h2
+        from tpugraph.kernels.spmm_ell import spmm_ell
+        from tpugraph.sparse.halo_ell import squeeze_shard as _sq
+
+        inc = _sq(attr_ops[0])
+        # pvary: mark the replicated attr table as device-varying so the
+        # custom-VJP SpMM's per-shard cotangent transposes through a psum
+        # (shard_map's VMA check cannot infer this across a custom_vjp)
+        ae_emb = jax.lax.pvary(params["attr_emb"], "graph")
+        x0 = spmm_ell(inc, ae_emb)  # (n_loc, dim) — shard-local
+        ah = jax.nn.relu(spmm(x0 @ params["ae_gc1"]["w"]) + params["ae_gc1"]["b"])
+        ae = spmm(ah @ params["ae_gc2"]["w"]) + params["ae_gc2"]["b"]
+        return h2, ae
 
     return encode
 
@@ -123,12 +153,14 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
                     verbose: bool = False) -> TrainResult:
     task = task or load_task(cfg)
     n_shards = cfg.n_shards
-    if (cfg.dropout > 0 or cfg.param_dtype != "float32" or cfg.l2_normalize
-            or cfg.use_attr_channel):
+    if cfg.dropout > 0 or cfg.param_dtype != "float32" or cfg.l2_normalize:
         raise ValueError(
-            "fit_distributed does not support dropout/param_dtype/l2_normalize/"
-            "use_attr_channel yet — rejecting rather than silently ignoring"
+            "fit_distributed does not support dropout/param_dtype/l2_normalize "
+            "yet — rejecting rather than silently ignoring"
         )
+    use_ae = cfg.use_attr_channel
+    if use_ae and (task.merged_attr_triples is None or task.n_attr == 0):
+        raise ValueError("attribute channel enabled but the task has no attribute triples")
     mesh = make_mesh(n_shards, cfg.feature_shards)
 
     src, dst, w = coo_from_triples(task.n_ent, task.merged_triples, n_rel=task.n_rel,
@@ -147,6 +179,7 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
         ik, n_pad, cfg.dim, hidden, cfg.highway,
         n_rel=task.n_rel if cfg.use_rel_head else 0,
         n_attr=task.n_attr if cfg.use_attr_head else 0,
+        n_attr_channel=task.n_attr if use_ae else 0,
     )
     emb_sharding = NamedSharding(mesh, P("graph", None))
     repl = NamedSharding(mesh, P())
@@ -159,9 +192,17 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
     else:
         halo = hg
     halo = jax.device_put(halo, NamedSharding(mesh, P("graph")))
+    attr_args = ()
+    if use_ae:
+        from tpugraph.sparse.halo_ell import build_attr_incidence_ell
+
+        attr_inc = build_attr_incidence_ell(attr_all, task.n_ent, task.n_attr,
+                                            n_shards, hg.n_loc)
+        attr_args = (jax.device_put(attr_inc, NamedSharding(mesh, P("graph"))),)
 
     encode = make_encoder(mesh, halo, cfg.highway,
-                          impl="ell" if cfg.spmm_impl == "ell" else "sorted")
+                          impl="ell" if cfg.spmm_impl == "ell" else "sorted",
+                          attr_channel=use_ae)
     tx = optax.adam(cfg.lr)
     opt_state = jax.device_put(tx.init(params), repl)
 
@@ -219,27 +260,48 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
 
     def enc_sub(p):
         """Encoder-only param subtree (shard_map in_specs match it)."""
-        return {k: p[k] for k in ("emb", "gc1", "gc2", "hw1", "hw2") if k in p}
+        keys = ("emb", "gc1", "gc2", "hw1", "hw2", "attr_emb", "ae_gc1", "ae_gc2")
+        return {k: p[k] for k in keys if k in p}
+
+    def encode_se_ae(p):
+        """(se, ae) — ae is None without the attribute channel."""
+        out = encode(enc_sub(p), halo, *attr_args)
+        return out if use_ae else (out, None)
+
+    def encode_emb(p):
+        """Eval/mining embeddings: SE, or the GCN-Align β-combined SE‖AE."""
+        se, ae = encode_se_ae(p)
+        if use_ae:
+            from tpugraph.models.attr_channel import combine_channels
+
+            return combine_channels(se, ae, cfg.attr_beta)
+        return se
+
+    def joint_loss(p, batch):
+        """Margin on SE (+ AE-channel margin) + MTL head losses."""
+        se, ae = encode_se_ae(p)
+        loss = margin_align_loss(se, pairs, batch["neg_l"], batch["neg_r"], cfg.gamma)
+        aux = {"margin": loss}
+        if use_ae:
+            l_ae = margin_align_loss(ae, pairs, batch["neg_l"], batch["neg_r"], cfg.gamma)
+            aux["ae"] = l_ae
+            loss = loss + cfg.attr_channel_weight * l_ae
+        extra, aux2 = head_losses(p, se, batch)
+        return loss + extra, {**aux, **aux2}
 
     @jax.jit
     def train_step(params, opt_state, batch):
-        def loss_fn(p):
-            emb = encode(enc_sub(p), halo)
-            loss = margin_align_loss(emb, pairs, batch["neg_l"], batch["neg_r"], cfg.gamma)
-            extra, aux = head_losses(p, emb, batch)
-            return loss + extra, {"margin": loss, **aux}
-
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        (loss, aux), grads = jax.value_and_grad(joint_loss, has_aux=True)(params, batch)
         updates, opt_state2 = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state2, loss, aux
 
     @jax.jit
     def embed(params):
-        return encode(enc_sub(params), halo)
+        return encode_emb(params)
 
     @jax.jit
     def resample_hard(params):
-        emb = encode(enc_sub(params), halo)
+        emb = encode_emb(params)
         if n_shards > 1:
             # ring-blockwise mining (SURVEY.md §5.7): candidate shards rotate
             # via ppermute; no shard ever holds the full candidate pool
@@ -342,14 +404,7 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
 
         def body(carry, _):
             params, opt_state = carry
-
-            def loss_fn(p):
-                emb = encode(enc_sub(p), halo)
-                loss = margin_align_loss(emb, pairs, batch["neg_l"], batch["neg_r"], cfg.gamma)
-                extra, aux = head_losses(p, emb, batch)
-                return loss + extra, {"margin": loss, **aux}
-
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            (loss, aux), grads = jax.value_and_grad(joint_loss, has_aux=True)(params, batch)
             updates, opt_state = tx.update(grads, opt_state, params)
             return (optax.apply_updates(params, updates), opt_state), (loss, aux)
 

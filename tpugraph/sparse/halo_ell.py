@@ -139,3 +139,39 @@ def build_halo_ell(hg: HaloGraph) -> HaloEll:
 def squeeze_shard(tree):
     """Drop the leading length-1 shard axis shard_map leaves carry."""
     return jax.tree_util.tree_map(lambda a: a.reshape(a.shape[1:]), tree)
+
+
+def build_attr_incidence_ell(attr_triples: np.ndarray, n_ent: int, n_attr: int,
+                             n_shards: int, n_loc: int) -> EllOperator:
+    """Edge-partitioned entity×attribute incidence (GCN-Align AE channel) as a
+    stacked scatter-free ELL operator for the distributed trainer.
+
+    Entity rows follow the same contiguous-range partition as
+    partition_edges; the attribute-embedding table is REPLICATED (attribute
+    vocabularies are small), so the incidence SpMM is purely shard-local — no
+    halo exchange.  Weights are 1/deg with the degree computed GLOBALLY and
+    duplicate (ent, attr) pairs deduped, matching
+    models/attr_channel.build_attr_operator exactly.
+
+    fwd: per-shard (n_loc × n_attr) — x = replicated attr embeddings;
+    bwd: per-shard (n_attr × n_loc) transpose — shard_map's replicated-input
+    transpose psums the per-shard attr-embedding cotangents automatically.
+    """
+    ent = attr_triples[:, 0].astype(np.int64)
+    att = attr_triples[:, 1].astype(np.int64)
+    key = ent * n_attr + att
+    uniq = np.unique(key)
+    ent, att = uniq // n_attr, uniq % n_attr
+    deg = np.bincount(ent, minlength=n_ent).astype(np.float64)
+    w = 1.0 / deg[ent]
+    owner = np.minimum(ent // n_loc, n_shards - 1)
+    fwd_parts, bwd_parts = [], []
+    for s in range(n_shards):
+        sel = owner == s
+        a_s = att[sel].astype(np.int64)
+        e_s = (ent[sel] - s * n_loc).astype(np.int64)
+        w_s = w[sel]
+        fwd_parts.append((a_s, e_s, w_s))
+        bwd_parts.append((e_s, a_s, w_s))
+    return EllOperator(fwd=_build_stacked_ell(fwd_parts, n_loc),
+                       bwd=_build_stacked_ell(bwd_parts, n_attr))
