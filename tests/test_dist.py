@@ -279,3 +279,21 @@ def test_fit_distributed_rejects_unsupported():
         cfg = get_config("base", n_shards=2, syn_n_ent=64, syn_n_triples=200, **bad)
         with pytest.raises(ValueError, match="does not support"):
             fit_distributed(cfg)
+
+
+def test_fit_distributed_slice_dp_matches():
+    """3-D DCN-aware mesh ('slice','graph','feature'): slicing the loss batch
+    across the 'slice' axis is data-parallel gradient accumulation with
+    GLOBAL means — identical math to the unsliced run."""
+    from tpugraph.configs import get_config
+    from tpugraph.data.synthetic import synthetic_align_task
+    from tpugraph.dist.trainer import fit_distributed
+
+    task = synthetic_align_task(seed=15, n_ent=120, n_rel=5, n_triples=500)
+    kw = dict(dim=16, epochs=8, eval_every=4, k_neg=6, neg_every=4,
+              neg_mode="uniform", syn_n_ent=120, n_shards=2)
+    r0 = fit_distributed(get_config("base", slice_shards=1, **kw), task=task)
+    r2 = fit_distributed(get_config("base", slice_shards=2, **kw), task=task)
+    np.testing.assert_allclose(np.asarray(r0.params["emb"]),
+                               np.asarray(r2.params["emb"]), rtol=1e-4, atol=1e-6)
+    assert r0.history[-1]["loss"] == pytest.approx(r2.history[-1]["loss"], rel=1e-4)

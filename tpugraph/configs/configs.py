@@ -84,6 +84,8 @@ class TrainConfig:
     # --- distribution (config 4) ---
     n_shards: int = 1  # graph-axis mesh size; 1 = single device
     feature_shards: int = 1
+    slice_shards: int = 1  # DCN axis: data-parallel loss batches across pod
+    # slices; grads all-reduce over 'slice' is the only DCN collective
 
     # --- observability ---
     metrics_path: str | None = None  # JSONL sink

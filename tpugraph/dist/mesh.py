@@ -26,11 +26,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from tpugraph.sparse.graph import PaddedEdges, SpMMOperator
 
 
-def make_mesh(n_graph: int, n_feature: int = 1, devices=None) -> Mesh:
+def make_mesh(n_graph: int, n_feature: int = 1, devices=None, n_slice: int = 1) -> Mesh:
+    """('graph', 'feature') mesh, or DCN-aware 3-D ('slice', 'graph',
+    'feature') when n_slice > 1.
+
+    Axis placement rule (SURVEY.md §5.8): 'graph' must map to ICI-adjacent
+    devices so the halo all_to_all and ring ppermute ride ICI; 'slice' is the
+    outermost axis and carries ONLY the per-step gradient all-reduce — the
+    only collective that may ride DCN.  On real multi-slice hardware pass the
+    device list from ``jax.experimental.mesh_utils.create_hybrid_device_mesh``
+    (slice-major order); virtually (CPU backend) a reshape is faithful.
+    """
     devices = devices if devices is not None else jax.devices()
-    n = n_graph * n_feature
+    n = n_slice * n_graph * n_feature
     if len(devices) < n:
         raise ValueError(f"need {n} devices, have {len(devices)}")
+    if n_slice > 1:
+        arr = np.asarray(devices[:n]).reshape(n_slice, n_graph, n_feature)
+        return Mesh(arr, ("slice", "graph", "feature"))
     arr = np.asarray(devices[:n]).reshape(n_graph, n_feature)
     return Mesh(arr, ("graph", "feature"))
 

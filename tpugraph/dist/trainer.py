@@ -161,7 +161,18 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
     use_ae = cfg.use_attr_channel
     if use_ae and (task.merged_attr_triples is None or task.n_attr == 0):
         raise ValueError("attribute channel enabled but the task has no attribute triples")
-    mesh = make_mesh(n_shards, cfg.feature_shards)
+    mesh = make_mesh(n_shards, cfg.feature_shards, n_slice=cfg.slice_shards)
+
+    def shard_slice(tree):
+        """Shard loss-side batches along the DCN 'slice' axis (3-D mesh):
+        each slice scores a contiguous stripe of the pairs/negatives, and the
+        per-step gradient all-reduce is the only cross-slice traffic.  Values
+        are bit-identical to the unsliced run (means are global)."""
+        if cfg.slice_shards <= 1:
+            return tree
+        spec = NamedSharding(mesh, P("slice"))
+        return jax.tree_util.tree_map(
+            lambda v: jax.lax.with_sharding_constraint(v, spec), tree)
 
     src, dst, w = coo_from_triples(task.n_ent, task.merged_triples, n_rel=task.n_rel,
                                    weighting=cfg.weighting)
@@ -368,7 +379,7 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
             bs = min(8192, attr_triples.shape[0])
             idx = jax.random.randint(ks[2], (bs,), 0, attr_triples.shape[0], dtype=jnp.int32)
             batch["attr_triples"] = jnp.take(attr_triples, idx, axis=0)
-        return batch
+        return shard_slice(batch)
 
     steps = max(1, cfg.steps_per_call)
     if steps > 1 and steps != cfg.neg_every:
@@ -401,6 +412,7 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
             bs = min(8192, attr_triples.shape[0])
             idx = jax.random.randint(ks[2], (bs,), 0, attr_triples.shape[0], dtype=jnp.int32)
             batch["attr_triples"] = jnp.take(attr_triples, idx, axis=0)
+        batch = shard_slice(batch)
 
         def body(carry, _):
             params, opt_state = carry

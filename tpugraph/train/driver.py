@@ -13,7 +13,7 @@ from tpugraph.train.loop import TrainResult, fit
 
 
 def run(cfg: TrainConfig, verbose: bool = False) -> TrainResult:
-    if cfg.n_shards > 1 or cfg.feature_shards > 1:
+    if cfg.n_shards > 1 or cfg.feature_shards > 1 or cfg.slice_shards > 1:
         from tpugraph.dist.trainer import fit_distributed
 
         return fit_distributed(cfg, verbose=verbose)
