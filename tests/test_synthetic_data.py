@@ -74,3 +74,59 @@ def test_dbp15k_reader_attrs_and_sup(tmp_path):
     assert task.n_attr == 3
     a = task.merged_attr_triples
     assert sorted(map(tuple, a)) == [(0, 2), (1, 0), (2, 1)]
+
+
+def test_dbp15k_reader_uri_attrs(tmp_path):
+    """JAPE-release URI attribute format (training_attrs_*): GCN-Align-style
+    top-K shared vocab, entity URIs resolved through ent_ids_*."""
+    from tpugraph.data.dbp15k import load_dbp15k
+
+    d = tmp_path / "fr_en"
+    d.mkdir()
+    (d / "ent_ids_1").write_text("0\thttp://fr/e_a\n1\thttp://fr/e_b\n")
+    (d / "ent_ids_2").write_text("5\thttp://en/x\n6\thttp://en/y\n")
+    (d / "triples_1").write_text("0\t9\t1\n")
+    (d / "triples_2").write_text("5\t3\t6\n")
+    (d / "ref_ent_ids").write_text("0\t5\n1\t6\n")
+    (d / "training_attrs_1").write_text(
+        "http://fr/e_a\thttp://prop/name\thttp://prop/pop\n"
+        "http://fr/e_b\thttp://prop/name\n"
+        "http://fr/unknown\thttp://prop/name\n")  # unknown entity: skipped
+    (d / "training_attrs_2").write_text(
+        "http://en/x\thttp://prop/name\thttp://prop/area\n")
+    task = load_dbp15k(str(tmp_path), "fr_en", max_attr=2)
+    # vocab = top-2 by frequency: name (3), then area/pop tie -> area by URI
+    assert task.n_attr == 2
+    a = task.merged_attr_triples
+    # e_a->name, e_b->name, x(global id 2)->name, x->area
+    assert sorted(map(tuple, a)) == [(0, 0), (1, 0), (2, 0), (2, 1)]
+
+
+def test_dbp15k_uri_attrs_drive_ae_channel(tmp_path):
+    """End-to-end: URI attribute files feed the AE channel trainer."""
+    from tpugraph.data.dbp15k import load_dbp15k
+    from tpugraph.configs import get_config
+    from tpugraph.train.driver import run
+
+    d = tmp_path / "zh_en"
+    d.mkdir()
+    n = 12
+    rng = np.random.default_rng(0)
+    (d / "ent_ids_1").write_text("".join(f"{i}\tfr{i}\n" for i in range(n)))
+    (d / "ent_ids_2").write_text("".join(f"{100+i}\ten{i}\n" for i in range(n)))
+    tri1 = "".join(f"{rng.integers(n)}\t0\t{rng.integers(n)}\n" for _ in range(30))
+    tri2 = "".join(f"{100+rng.integers(n)}\t0\t{100+rng.integers(n)}\n" for _ in range(30))
+    (d / "triples_1").write_text(tri1)
+    (d / "triples_2").write_text(tri2)
+    (d / "ref_ent_ids").write_text("".join(f"{i}\t{100+i}\n" for i in range(n)))
+    (d / "training_attrs_1").write_text(
+        "".join(f"fr{i}\tp{rng.integers(4)}\tp{rng.integers(4)}\n" for i in range(n)))
+    (d / "training_attrs_2").write_text(
+        "".join(f"en{i}\tp{rng.integers(4)}\n" for i in range(n)))
+    cfg = get_config("base", dataset="dbp15k", data_root=str(tmp_path), pair="zh_en",
+                     use_attr_channel=True, dim=8, epochs=4, neg_every=2, k_neg=3,
+                     eval_every=0, neg_mode="uniform", train_ratio=0.5)
+    res = run(cfg)
+    assert np.isfinite(res.metrics["final_loss"])
+    task = load_dbp15k(str(tmp_path), "zh_en")
+    assert task.n_attr > 0

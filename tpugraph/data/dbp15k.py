@@ -10,6 +10,10 @@ empty; SURVEY.md §2.1 "Dataset reader"):
         ref_ent_ids            "<id1>\t<id2>" seed alignments (ILLs)
         sup_ent_ids            optional extra training alignments
         att_triples_{1,2}      optional "<ent>\t<attr>" integer ids
+        training_attrs_{1,2}   optional JAPE-release URI format:
+                               "<ent_uri>\t<attr_uri>\t<attr_uri>…" — parsed
+                               GCN-Align-style (top-K most frequent attribute
+                               URIs over both KGs become the attribute vocab)
 
 DBP15K's released ids are *global* across both KGs (KG1 and KG2 ids share
 one namespace); this reader detects that and remaps to the merged-id
@@ -49,8 +53,39 @@ def _read_ids(path: str) -> np.ndarray:
     return np.asarray(sorted(ids), dtype=np.int64)
 
 
-def load_dbp15k(root: str, pair: str = "zh_en", train_ratio: float = 0.3, seed: int = 0) -> AlignTask:
-    """Load a DBP15K language pair into an AlignTask."""
+def _read_uri_map(path: str) -> dict[str, int]:
+    """'<id>\\t<uri>' → {uri: global id}."""
+    out = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) >= 2 and parts[0]:
+                out[parts[1]] = int(parts[0])
+    return out
+
+
+def _read_training_attrs(path: str, uri2id: dict[str, int]) -> list[tuple[int, str]]:
+    """JAPE 'training_attrs' line = entity URI then its attribute URIs.
+    Returns (global entity id, attr uri) pairs for known entities."""
+    out = []
+    with open(path) as f:
+        for line in f:
+            parts = [p for p in line.rstrip("\n").split("\t") if p]
+            if len(parts) < 2:
+                continue
+            eid = uri2id.get(parts[0])
+            if eid is None:
+                continue
+            out.extend((eid, a) for a in parts[1:])
+    return out
+
+
+def load_dbp15k(root: str, pair: str = "zh_en", train_ratio: float = 0.3, seed: int = 0,
+                max_attr: int = 1000) -> AlignTask:
+    """Load a DBP15K language pair into an AlignTask.
+
+    ``max_attr``: attribute-vocabulary cap for the URI-format attribute files
+    (GCN-Align keeps the 1000 most frequent attributes; ties broken by URI)."""
     d = os.path.join(root, pair)
     ids1 = _read_ids(os.path.join(d, "ent_ids_1"))
     ids2 = _read_ids(os.path.join(d, "ent_ids_2"))
@@ -92,6 +127,8 @@ def load_dbp15k(root: str, pair: str = "zh_en", train_ratio: float = 0.3, seed: 
     n_attr = 0
     ap1 = os.path.join(d, "att_triples_1")
     ap2 = os.path.join(d, "att_triples_2")
+    tp1 = os.path.join(d, "training_attrs_1")
+    tp2 = os.path.join(d, "training_attrs_2")
     if os.path.exists(ap1) and os.path.exists(ap2):
         a1 = _read_tsv_ints(ap1, 2)
         a2 = _read_tsv_ints(ap2, 2)
@@ -99,6 +136,29 @@ def load_dbp15k(root: str, pair: str = "zh_en", train_ratio: float = 0.3, seed: 
         a2[:, 0] = [remap2[int(v)] for v in a2[:, 0]]
         n_attr = int(max(a1[:, 1].max(initial=0), a2[:, 1].max(initial=0))) + 1
         attr1, attr2 = a1.astype(np.int32), a2.astype(np.int32)
+    elif os.path.exists(tp1) and os.path.exists(tp2):
+        # JAPE URI format: shared attribute vocab = top max_attr by frequency
+        # over BOTH KGs (GCN-Align convention)
+        uri1 = _read_uri_map(os.path.join(d, "ent_ids_1"))
+        uri2 = _read_uri_map(os.path.join(d, "ent_ids_2"))
+        pairs1 = _read_training_attrs(tp1, uri1)
+        pairs2 = _read_training_attrs(tp2, uri2)
+        from collections import Counter
+
+        freq = Counter(a for _, a in pairs1)
+        freq.update(a for _, a in pairs2)
+        vocab = {a: i for i, (a, _) in enumerate(
+            sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:max_attr])}
+        n_attr = len(vocab)
+
+        def _to_arr(ps, remap):
+            rows = [(remap[g], vocab[a]) for g, a in ps if a in vocab and g in remap]
+            if not rows:
+                return np.zeros((0, 2), np.int32)
+            return np.asarray(rows, np.int32)
+
+        attr1 = _to_arr(pairs1, remap1)
+        attr2 = _to_arr(pairs2, remap2)
 
     kg1 = KG(n_ent=n1, n_rel=len(r1_uniq), triples=tri1, attr_triples=attr1, n_attr=n_attr)
     kg2 = KG(n_ent=n2, n_rel=len(r2_uniq), triples=tri2, attr_triples=attr2, n_attr=n_attr)
