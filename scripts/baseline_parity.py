@@ -28,6 +28,10 @@ RECIPES = {
     # v2: round-1 tuned recipe (harder negative pressure) — +2.7 Hits@1 on the
     # pinned task for BOTH systems (parity preserved)
     "v2": dict(dim=128, epochs=600, lr=2e-3, gamma=15.0, k_neg=100, neg_every=2),
+    # v3 = v2 + bootstrapped pair augmentation (pair with --eval-csls 10):
+    # oracle 0.2994 / tpugraph 0.2966 Hits@1 on the pinned task (2026-08-18)
+    "v3": dict(dim=128, epochs=600, lr=2e-3, gamma=15.0, k_neg=100, neg_every=2,
+               boot_cap=2500, boot_start=200, boot_weight=0.5, boot_csls_k=10),
 }
 
 

@@ -297,3 +297,40 @@ def test_fit_distributed_slice_dp_matches():
     np.testing.assert_allclose(np.asarray(r0.params["emb"]),
                                np.asarray(r2.params["emb"]), rtol=1e-4, atol=1e-6)
     assert r0.history[-1]["loss"] == pytest.approx(r2.history[-1]["loss"], rel=1e-4)
+
+
+def test_fit_distributed_bootstrap_matches():
+    """Bootstrapped mutual-NN pair augmentation in the sharded trainer:
+    N=8 ≡ N=1 (params allclose), proposals actually fire."""
+    from tpugraph.configs import get_config
+    from tpugraph.data.synthetic import synthetic_align_task
+    from tpugraph.dist.trainer import fit_distributed
+
+    task = synthetic_align_task(seed=17, n_ent=120, n_rel=5, n_triples=500)
+    kw = dict(dim=16, epochs=12, eval_every=6, k_neg=6, neg_every=4,
+              neg_mode="uniform", syn_n_ent=120, boot_cap=16, boot_start=4,
+              boot_weight=0.5)
+    r1 = fit_distributed(get_config("base", n_shards=1, **kw), task=task)
+    r8 = fit_distributed(get_config("base", n_shards=8, **kw), task=task)
+    np.testing.assert_allclose(np.asarray(r1.params["emb"]),
+                               np.asarray(r8.params["emb"]), rtol=1e-4, atol=1e-6)
+    assert r1.history[-1]["loss"] == pytest.approx(r8.history[-1]["loss"], rel=1e-3)
+
+
+def test_fit_distributed_boot_hard_mining_matches():
+    """Boot + hard mining (the full accuracy recipe) in the sharded trainer:
+    N=4 ≡ N=1 within the dist engine.  (Cross-engine loss equality with
+    train.loop.fit is NOT expected — the engines use different negative-key
+    schedules by design.)"""
+    from tpugraph.configs import get_config
+    from tpugraph.data.synthetic import synthetic_align_task
+    from tpugraph.dist.trainer import fit_distributed
+
+    task = synthetic_align_task(seed=18, n_ent=120, n_rel=5, n_triples=500)
+    kw = dict(dim=16, epochs=8, eval_every=4, k_neg=4, neg_every=4,
+              neg_mode="hard", syn_n_ent=120, boot_cap=16, boot_start=4,
+              boot_weight=0.5, pad_bucket=256)
+    rd = fit_distributed(get_config("base", n_shards=4, **kw), task=task)
+    rs = fit_distributed(get_config("base", n_shards=1, **kw), task=task)
+    assert rd.history[-1]["loss"] == pytest.approx(rs.history[-1]["loss"], rel=1e-3)
+    assert rd.metrics["hits@1"] == pytest.approx(rs.metrics["hits@1"], abs=0.05)

@@ -219,6 +219,29 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
 
     pairs = jax.device_put(jnp.asarray(task.train_pairs), repl)
     n1, n = task.kg1.n_ent, task.n_ent
+
+    use_boot = cfg.boot_cap > 0
+    if use_boot:
+        import numpy as _np
+
+        from tpugraph.train.bootstrap import propose_mutual_nn_pairs
+
+        _m1 = _np.ones(n1, bool)
+        _m1[task.train_pairs[:, 0]] = False
+        _m2 = _np.ones(n - n1, bool)
+        _m2[task.train_pairs[:, 1] - n1] = False
+        boot_mask1 = jax.device_put(jnp.asarray(_m1), repl)
+        boot_mask2 = jax.device_put(jnp.asarray(_m2), repl)
+        ones_seed = jnp.ones((pairs.shape[0],), jnp.float32)
+        boot_placeholder = (
+            jnp.tile(jnp.array([0, n1], jnp.int32), (cfg.boot_cap, 1)),
+            jnp.zeros((cfg.boot_cap,), jnp.float32),
+        )
+
+        def with_boot(bp, bw):
+            return (jnp.concatenate([pairs, bp], 0),
+                    jnp.concatenate([ones_seed, bw * cfg.boot_weight], 0))
+
     rel_triples = jax.device_put(jnp.asarray(task.merged_triples), repl)
     attr_triples = (
         jax.device_put(jnp.asarray(attr_all), repl) if attr_all is not None else None
@@ -289,12 +312,15 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
         return se
 
     def joint_loss(p, batch):
-        """Margin on SE (+ AE-channel margin) + MTL head losses."""
+        """Margin on SE (+ AE-channel margin) + MTL head losses.  batch
+        carries the (possibly boot-augmented) pairs and their weights; the
+        Sinkhorn head stays on the seed pairs (as in the single-device MTL)."""
         se, ae = encode_se_ae(p)
-        loss = margin_align_loss(se, pairs, batch["neg_l"], batch["neg_r"], cfg.gamma)
+        bp, bw = batch["pairs"], batch["w"]
+        loss = margin_align_loss(se, bp, batch["neg_l"], batch["neg_r"], cfg.gamma, bw)
         aux = {"margin": loss}
         if use_ae:
-            l_ae = margin_align_loss(ae, pairs, batch["neg_l"], batch["neg_r"], cfg.gamma)
+            l_ae = margin_align_loss(ae, bp, batch["neg_l"], batch["neg_r"], cfg.gamma, bw)
             aux["ae"] = l_ae
             loss = loss + cfg.attr_channel_weight * l_ae
         extra, aux2 = head_losses(p, se, batch)
@@ -311,22 +337,34 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
         return encode_emb(params)
 
     @jax.jit
-    def resample_hard(params):
+    def resample_hard(params, pairs_t):
         emb = encode_emb(params)
-        if n_shards > 1:
+        if n_shards > 1 and cfg.neg_csls_k == 0:
             # ring-blockwise mining (SURVEY.md §5.7): candidate shards rotate
             # via ppermute; no shard ever holds the full candidate pool
             from tpugraph.dist.ring import ring_knn
 
-            e_l = jnp.take(emb, pairs[:, 0], axis=0)
-            e_r = jnp.take(emb, pairs[:, 1], axis=0)
+            e_l = jnp.take(emb, pairs_t[:, 0], axis=0)
+            e_r = jnp.take(emb, pairs_t[:, 1], axis=0)
             cand_l = jax.lax.slice_in_dim(emb, 0, n1, axis=0)
             cand_r = jax.lax.slice_in_dim(emb, n1, n, axis=0)
-            neg_r = ring_knn(e_l, cand_r, pairs[:, 1] - n1, cfg.k_neg, mesh) + n1
-            neg_l = ring_knn(e_r, cand_l, pairs[:, 0], cfg.k_neg, mesh)
+            neg_r = ring_knn(e_l, cand_r, pairs_t[:, 1] - n1, cfg.k_neg, mesh) + n1
+            neg_l = ring_knn(e_r, cand_l, pairs_t[:, 0], cfg.k_neg, mesh)
             return neg_l, neg_r
-        return sample_hard_negatives(emb, pairs, n1, n, cfg.k_neg,
-                                     metric=cfg.neg_metric, approx=cfg.neg_approx)
+        # CSLS mining: GSPMD blockwise path (ring CSLS hubness pass is future
+        # work; XLA inserts the gathers over the row-sharded embeddings)
+        return sample_hard_negatives(emb, pairs_t, n1, n, cfg.k_neg,
+                                     metric=cfg.neg_metric, approx=cfg.neg_approx,
+                                     csls_k=cfg.neg_csls_k)
+
+    if use_boot:
+        def propose_boot(params):
+            emb = encode_emb(params)
+            return propose_mutual_nn_pairs(
+                emb, boot_mask1, boot_mask2, n1, n, cfg.boot_cap,
+                metric=cfg.neg_metric, csls_k=cfg.boot_csls_k)
+
+        propose_boot_jit = jax.jit(propose_boot)
 
     def dist_eval(params):
         """Ring-blockwise eval (SURVEY.md §5.7) when actually sharded."""
@@ -365,11 +403,19 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
         """Epoch-keyed batch: same on every host (SURVEY.md §7 hard part 6)."""
         bk = jax.random.fold_in(base_key, epoch - epoch % cfg.neg_every)
         ks = jax.random.split(bk, 3)
-        if cfg.neg_mode == "hard" and epoch > 0:
-            neg_l, neg_r = resample_hard(params)
+        if use_boot:
+            if epoch >= cfg.boot_start and epoch > 0:
+                bp, bw = propose_boot_jit(params)
+            else:
+                bp, bw = boot_placeholder
+            pairs_t, w = with_boot(bp, bw)
         else:
-            neg_l, neg_r = sample_uniform_negatives(ks[0], pairs, n1, n, cfg.k_neg)
-        batch = {"neg_l": neg_l, "neg_r": neg_r}
+            pairs_t, w = pairs, None
+        if cfg.neg_mode == "hard" and epoch > 0:
+            neg_l, neg_r = resample_hard(params, pairs_t)
+        else:
+            neg_l, neg_r = sample_uniform_negatives(ks[0], pairs_t, n1, n, cfg.k_neg)
+        batch = {"pairs": pairs_t, "w": w, "neg_l": neg_l, "neg_r": neg_r}
         if cfg.use_rel_head:
             kt, kh = jax.random.split(ks[1])
             t = rel_triples.shape[0]
@@ -393,16 +439,24 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
         bk = jax.random.fold_in(base_key, epoch0)
         ks = jax.random.split(bk, 3)
 
+        if use_boot:
+            bp, bw = jax.lax.cond(
+                (epoch0 >= cfg.boot_start) & (epoch0 > 0),
+                lambda _: propose_boot(params), lambda _: boot_placeholder, None)
+            pairs_t, w = with_boot(bp, bw)
+        else:
+            pairs_t, w = pairs, None
+
         def negs_uniform(_):
-            return sample_uniform_negatives(ks[0], pairs, n1, n, cfg.k_neg)
+            return sample_uniform_negatives(ks[0], pairs_t, n1, n, cfg.k_neg)
 
         if cfg.neg_mode == "hard":
             neg_l, neg_r = jax.lax.cond(
-                epoch0 > 0, lambda _: resample_hard(params), negs_uniform, None
+                epoch0 > 0, lambda _: resample_hard(params, pairs_t), negs_uniform, None
             )
         else:
             neg_l, neg_r = negs_uniform(None)
-        batch = {"neg_l": neg_l, "neg_r": neg_r}
+        batch = {"pairs": pairs_t, "w": w, "neg_l": neg_l, "neg_r": neg_r}
         if cfg.use_rel_head:
             kt, kh = jax.random.split(ks[1])
             t = rel_triples.shape[0]
