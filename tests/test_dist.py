@@ -275,7 +275,7 @@ def test_fit_distributed_rejects_unsupported():
     from tpugraph.configs import get_config
     from tpugraph.dist.trainer import fit_distributed
 
-    for bad in (dict(dropout=0.5), dict(param_dtype="bfloat16")):
+    for bad in (dict(dropout=0.5), dict(l2_normalize=True)):
         cfg = get_config("base", n_shards=2, syn_n_ent=64, syn_n_triples=200, **bad)
         with pytest.raises(ValueError, match="does not support"):
             fit_distributed(cfg)
@@ -334,3 +334,25 @@ def test_fit_distributed_boot_hard_mining_matches():
     rs = fit_distributed(get_config("base", n_shards=1, **kw), task=task)
     assert rd.history[-1]["loss"] == pytest.approx(rs.history[-1]["loss"], rel=1e-3)
     assert rd.metrics["hits@1"] == pytest.approx(rs.metrics["hits@1"], abs=0.05)
+
+
+def test_fit_distributed_bf16_matches():
+    """bf16 activations in the sharded encoder (fp32 params/accumulators,
+    bf16 halo exchange): N=8 tracks N=1, and bf16 tracks fp32 loosely."""
+    from tpugraph.configs import get_config
+    from tpugraph.data.synthetic import synthetic_align_task
+    from tpugraph.dist.trainer import fit_distributed
+
+    task = synthetic_align_task(seed=19, n_ent=120, n_rel=5, n_triples=500)
+    kw = dict(dim=16, epochs=8, eval_every=4, k_neg=6, neg_every=4,
+              neg_mode="uniform", syn_n_ent=120)
+    rb1 = fit_distributed(get_config("base", n_shards=1,
+                                     param_dtype="bfloat16", **kw), task=task)
+    rb8 = fit_distributed(get_config("base", n_shards=8,
+                                     param_dtype="bfloat16", **kw), task=task)
+    rf1 = fit_distributed(get_config("base", n_shards=1, **kw), task=task)
+    assert rb1.history[-1]["loss"] == pytest.approx(rb8.history[-1]["loss"], rel=0.02)
+    assert rb1.history[-1]["loss"] == pytest.approx(rf1.history[-1]["loss"], rel=0.05)
+    assert np.isfinite(rb8.metrics["hits@1"])
+    # params stay fp32 under the mixed-precision recipe
+    assert np.asarray(rb8.params["emb"]).dtype == np.float32

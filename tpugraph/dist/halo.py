@@ -44,7 +44,9 @@ def halo_spmm_ell(
     d = x_local.shape[1]
     with jax.named_scope("halo_a2a"):
         send = jnp.take(x_local, send_idx.reshape(-1), axis=0).reshape(s, b, d)
-        send = send * send_mask[:, :, None]
+        # cast the mask, not the payload: bf16 activations must cross the ICI
+        # as bf16 (half the exchange bytes), not get promoted to fp32
+        send = send * send_mask[:, :, None].astype(send.dtype)
         recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0, tiled=True)
     with jax.named_scope("spmm_local"):
         out = spmm_ell(loc_op, x_local)
@@ -66,7 +68,7 @@ def halo_spmm(
     # 1. halo exchange: one tiled all_to_all over ICI
     with jax.named_scope("halo_a2a"):
         send = jnp.take(x_local, send_idx.reshape(-1), axis=0).reshape(s, b, d)
-        send = send * send_mask[:, :, None]
+        send = send * send_mask[:, :, None].astype(send.dtype)
         recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0, tiled=True)
     # 2. local aggregation — no data dependence on `recv`; overlaps the exchange
     with jax.named_scope("spmm_local"):

@@ -62,7 +62,7 @@ def init_params(key, n_pad: int, dim: int, hidden: int, highway: bool,
 
 
 def make_encoder(mesh, halo, highway: bool, impl: str = "sorted",
-                 attr_channel: bool = False):
+                 attr_channel: bool = False, compute_dtype: str = "float32"):
     """Returns encode(params, halo[, attr_op]) -> (N_pad, d) row-sharded on
     'graph' — or an (se, ae) pair when ``attr_channel`` (GCN-Align AE).
 
@@ -74,8 +74,12 @@ def make_encoder(mesh, halo, highway: bool, impl: str = "sorted",
     incidence EllOperator (sparse/halo_ell.build_attr_incidence_ell): its
     sources (attr embeddings) are replicated, so only the adjacency
     propagation needs the halo exchange.
+    ``compute_dtype='bfloat16'``: bf16 activations through the SpMMs and
+    GEMMs (params and K-axis accumulation stay fp32; the halo all_to_all
+    ships bf16 rows — half the ICI bytes); output cast back to fp32.
     """
     repl = P()
+    cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
 
     @partial(
         shard_map,
@@ -122,17 +126,20 @@ def make_encoder(mesh, halo, highway: bool, impl: str = "sorted",
                 return halo_spmm(x, loc_src, loc_dst, loc_w, bnd_src, bnd_dst, bnd_w,
                                  send_idx, send_mask)
 
-        x = params["emb"]  # (n_loc, dim)
-        h = jax.nn.relu(spmm(x @ params["gc1"]["w"]) + params["gc1"]["b"])
+        def w_(p):  # params stay fp32; cast at use (mixed-precision recipe)
+            return p["w"].astype(cdt)
+
+        x = params["emb"].astype(cdt)  # (n_loc, dim)
+        h = jax.nn.relu(spmm(x @ w_(params["gc1"])) + params["gc1"]["b"].astype(cdt))
         if highway:
-            t = jax.nn.sigmoid(x @ params["hw1"]["w"] + params["hw1"]["b"])
+            t = jax.nn.sigmoid(x @ w_(params["hw1"]) + params["hw1"]["b"].astype(cdt))
             h = t * h + (1.0 - t) * x
-        h2 = spmm(h @ params["gc2"]["w"]) + params["gc2"]["b"]
+        h2 = spmm(h @ w_(params["gc2"])) + params["gc2"]["b"].astype(cdt)
         if highway:
-            t2 = jax.nn.sigmoid(h @ params["hw2"]["w"] + params["hw2"]["b"])
+            t2 = jax.nn.sigmoid(h @ w_(params["hw2"]) + params["hw2"]["b"].astype(cdt))
             h2 = t2 * h2 + (1.0 - t2) * h
         if not attr_channel:
-            return h2
+            return h2.astype(jnp.float32)
         from tpugraph.kernels.spmm_ell import spmm_ell
         from tpugraph.sparse.halo_ell import squeeze_shard as _sq
 
@@ -140,11 +147,11 @@ def make_encoder(mesh, halo, highway: bool, impl: str = "sorted",
         # pvary: mark the replicated attr table as device-varying so the
         # custom-VJP SpMM's per-shard cotangent transposes through a psum
         # (shard_map's VMA check cannot infer this across a custom_vjp)
-        ae_emb = jax.lax.pvary(params["attr_emb"], "graph")
+        ae_emb = jax.lax.pvary(params["attr_emb"], "graph").astype(cdt)
         x0 = spmm_ell(inc, ae_emb)  # (n_loc, dim) — shard-local
-        ah = jax.nn.relu(spmm(x0 @ params["ae_gc1"]["w"]) + params["ae_gc1"]["b"])
-        ae = spmm(ah @ params["ae_gc2"]["w"]) + params["ae_gc2"]["b"]
-        return h2, ae
+        ah = jax.nn.relu(spmm(x0 @ w_(params["ae_gc1"])) + params["ae_gc1"]["b"].astype(cdt))
+        ae = spmm(ah @ w_(params["ae_gc2"])) + params["ae_gc2"]["b"].astype(cdt)
+        return h2.astype(jnp.float32), ae.astype(jnp.float32)
 
     return encode
 
@@ -153,11 +160,13 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
                     verbose: bool = False) -> TrainResult:
     task = task or load_task(cfg)
     n_shards = cfg.n_shards
-    if cfg.dropout > 0 or cfg.param_dtype != "float32" or cfg.l2_normalize:
+    if cfg.dropout > 0 or cfg.l2_normalize:
         raise ValueError(
-            "fit_distributed does not support dropout/param_dtype/l2_normalize "
+            "fit_distributed does not support dropout/l2_normalize "
             "yet — rejecting rather than silently ignoring"
         )
+    if cfg.param_dtype not in ("float32", "bfloat16"):
+        raise ValueError(f"unsupported param_dtype {cfg.param_dtype!r}")
     use_ae = cfg.use_attr_channel
     if use_ae and (task.merged_attr_triples is None or task.n_attr == 0):
         raise ValueError("attribute channel enabled but the task has no attribute triples")
@@ -213,7 +222,7 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
 
     encode = make_encoder(mesh, halo, cfg.highway,
                           impl="ell" if cfg.spmm_impl == "ell" else "sorted",
-                          attr_channel=use_ae)
+                          attr_channel=use_ae, compute_dtype=cfg.param_dtype)
     tx = optax.adam(cfg.lr)
     opt_state = jax.device_put(tx.init(params), repl)
 
