@@ -18,9 +18,10 @@ ARGS = [
 ]
 
 
-def _run(ckdir, env, kill_after_first_ckpt=False):
+def _run(ckdir, env, kill_after_first_ckpt=False, args=None):
     p = subprocess.Popen(
-        [sys.executable, "-u", "-m", "tpugraph.cli.main", *ARGS, f"checkpoint_dir={ckdir}"],
+        [sys.executable, "-u", "-m", "tpugraph.cli.main", *(ARGS if args is None else args),
+         f"checkpoint_dir={ckdir}"],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, cwd=REPO,
     )
     if kill_after_first_ckpt:
@@ -60,3 +61,53 @@ def test_kill_and_relaunch_continues_exactly(tmp_path):
     assert resumed["final_loss"] == ref["final_loss"]
     assert resumed["hits@1"] == ref["hits@1"]
     assert resumed["hits@10"] == ref["hits@10"]
+
+
+def test_sigterm_emergency_checkpoint_and_resume(tmp_path):
+    """Preemption (SIGTERM) forces an emergency save at the next epoch
+    boundary and a clean exit; relaunch reproduces the uninterrupted run.
+    checkpoint_every is set beyond the run length, so the ONLY checkpoint
+    that can exist is the emergency one."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+
+    args = [a if a != "checkpoint_every=4" else "checkpoint_every=100000" for a in ARGS]
+    args = [a if a != "epochs=60" else "epochs=3000" for a in args]
+
+    ref_dir = str(tmp_path / "ref")
+    p = subprocess.Popen(
+        [sys.executable, "-u", "-m", "tpugraph.cli.main", *args,
+         f"checkpoint_dir={ref_dir}"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, cwd=REPO)
+    out, _ = p.communicate(timeout=240)
+    assert p.returncode == 0, out.decode()[-1500:]
+    ref = json.loads(out.decode().strip().splitlines()[-1])
+
+    ckdir = str(tmp_path / "victim")
+    metrics = str(tmp_path / "victim_metrics.jsonl")
+    p = subprocess.Popen(
+        [sys.executable, "-u", "-m", "tpugraph.cli.main", *args,
+         f"checkpoint_dir={ckdir}", "eval_every=2", f"metrics_path={metrics}"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, cwd=REPO)
+    deadline = time.time() + 120
+    started = False
+    while time.time() < deadline:
+        # metrics JSONL line 1 is config; an eval record means training is live
+        if os.path.exists(metrics) and sum(1 for _ in open(metrics)) >= 2:
+            started = True
+            break
+        if p.poll() is not None:
+            break
+        time.sleep(0.1)
+    assert started, "victim never reached a live epoch"
+    p.send_signal(signal.SIGTERM)
+    out, _ = p.communicate(timeout=120)
+    assert p.returncode == 0, f"preempted run must exit cleanly:\n{out.decode()[-1500:]}"
+    steps = [d for d in os.listdir(ckdir) if d.isdigit()]
+    assert steps, "no emergency checkpoint was written"
+    assert all(int(s) < 2999 for s in steps), "run was not actually preempted early"
+
+    resumed = _run(ckdir, env, args=args)
+    assert resumed["final_loss"] == ref["final_loss"]
+    assert resumed["hits@1"] == ref["hits@1"]

@@ -386,6 +386,7 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
     from tpugraph.train.checkpoint import Checkpointer, abstract_like
 
     ckpt = Checkpointer(cfg.checkpoint_dir, cfg.checkpoint_every)
+    ckpt.install_preemption_handler()
     start_epoch = 0
     restored = ckpt.restore_latest(abstract_like({"params": params, "opt_state": opt_state}))
     if restored is not None:
@@ -505,10 +506,15 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
                     batch = make_batch(epoch)
                 params, opt_state, loss, aux = train_step(params, opt_state, batch)
             last = epoch + steps - 1
+            def _save_ckpt(at_epoch):
+                ckpt.maybe_save(at_epoch, {"params": params, "opt_state": opt_state},
+                                force=True)
+
             if ckpt.enabled and (
                 (last > 0 and last % cfg.checkpoint_every < steps) or last >= cfg.epochs - 1
+                or ckpt.preempted
             ):
-                ckpt.maybe_save(last, {"params": params, "opt_state": opt_state}, force=True)
+                _save_ckpt(last)
             if cfg.eval_every and (last % cfg.eval_every < steps or last >= cfg.epochs - 1):
                 m = dist_eval(params)
                 wall = time.perf_counter() - t_start
@@ -523,6 +529,12 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
                 if verbose:
                     print(f"[dist:{cfg.name}@{n_shards}] epoch {last} loss {rec['loss']:.4f} "
                           f"hits@1 {m['hits@1']:.3f}")
+            if ckpt.preempted:
+                # latch may fire after the save block's check (e.g. during eval)
+                if ckpt.enabled:
+                    _save_ckpt(last)
+                break  # clean exit for relaunch
+        ckpt.restore_handler()
         final = dist_eval(params)
     final["final_loss"] = float(loss)
     ckpt.close()

@@ -25,12 +25,44 @@ def _manager(directory: str):
 
 
 class Checkpointer:
-    """Thin step-scoped wrapper; ``enabled=False`` makes every call a no-op."""
+    """Thin step-scoped wrapper; ``enabled=False`` makes every call a no-op.
+
+    Preemption awareness (the single-host analog of Orbax emergency
+    checkpointing): ``install_preemption_handler()`` latches SIGTERM — the
+    signal cloud schedulers send before reclaiming a VM — into
+    ``self.preempted``; the training loops force-save the live state and exit
+    cleanly at the next epoch boundary, so a relaunch loses at most one epoch
+    instead of everything since the last periodic checkpoint."""
 
     def __init__(self, directory: str | None, every: int = 0):
         self.enabled = bool(directory) and every > 0
         self.every = every
         self._mgr = _manager(directory) if self.enabled else None
+        self.preempted = False
+        self._prev_handler = None
+
+    def install_preemption_handler(self):
+        if not self.enabled:
+            return
+        import signal
+
+        def _latch(signum, frame):
+            self.preempted = True
+
+        try:
+            self._prev_handler = signal.signal(signal.SIGTERM, _latch)
+        except ValueError:
+            pass  # non-main thread: periodic checkpoints still protect the run
+
+    def restore_handler(self):
+        if self._prev_handler is not None:
+            import signal
+
+            try:
+                signal.signal(signal.SIGTERM, self._prev_handler)
+            except ValueError:
+                pass
+            self._prev_handler = None
 
     def maybe_save(self, epoch: int, state: dict, force: bool = False):
         if not self.enabled:
@@ -55,9 +87,13 @@ class Checkpointer:
         return step, state
 
     def close(self):
+        """Flush pending async saves; idempotent.  MUST run before process
+        exit or an in-flight (e.g. emergency) save is silently lost."""
         if self._mgr is not None:
             self._mgr.wait_until_finished()
             self._mgr.close()
+            self._mgr = None
+            self.enabled = False
 
 
 def abstract_like(tree):

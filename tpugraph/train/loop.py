@@ -217,6 +217,7 @@ def fit(
     from tpugraph.train.checkpoint import Checkpointer, abstract_like
 
     ckpt = Checkpointer(cfg.checkpoint_dir, cfg.checkpoint_every)
+    ckpt.install_preemption_handler()
     start_epoch = 0
     # negatives are part of the state: a resume mid-interval must reuse the
     # interval-boundary negatives (hard mode mines from boundary params —
@@ -291,9 +292,7 @@ def fit(
         # window form (matches the eval condition): with steps > 1 the chunk
         # ends are ≡ steps-1 (mod steps), so an exact `% every == 0` test
         # would never fire
-        hit_window = ckpt.enabled and last_of_chunk > 0 and (
-            last_of_chunk % cfg.checkpoint_every < steps)
-        if ckpt.enabled and (hit_window or last_of_chunk >= cfg.epochs - 1):
+        def _save_ckpt(at_epoch):
             if steps > 1:
                 # fused mode: chunks ARE resample intervals, so a resume at
                 # the chunk boundary re-mines (and re-proposes) identically;
@@ -308,7 +307,13 @@ def fit(
                           "loss": jnp.float32(loss)}
             if use_boot:
                 save_state["boot_pairs"], save_state["boot_w"] = boot_s
-            ckpt.maybe_save(last_of_chunk, save_state, force=True)
+            ckpt.maybe_save(at_epoch, save_state, force=True)
+
+        hit_window = ckpt.enabled and last_of_chunk > 0 and (
+            last_of_chunk % cfg.checkpoint_every < steps)
+        if ckpt.enabled and (hit_window or last_of_chunk >= cfg.epochs - 1
+                             or ckpt.preempted):
+            _save_ckpt(last_of_chunk)
         if cfg.eval_every and (last_of_chunk % cfg.eval_every < steps
                                or last_of_chunk >= cfg.epochs - 1):
             m = hits_at_k(embed(params), jnp.asarray(task.test_pairs), csls_k=cfg.eval_csls_k)
@@ -327,6 +332,14 @@ def fit(
                     f"[fit:{cfg.name}] epoch {last_of_chunk} loss {rec['loss']:.4f} "
                     f"hits@1 {m['hits@1']:.3f} hits@10 {m['hits@10']:.3f}"
                 )
+        if ckpt.preempted:
+            # the latch may have fired AFTER the save block above ran its
+            # check (e.g. during eval) — save now; idempotent if it did run
+            if ckpt.enabled:
+                _save_ckpt(last_of_chunk)
+            break  # exit cleanly for relaunch
+    ckpt.restore_handler()
+    ckpt.close()  # flush async saves (the emergency one especially)
     final = hits_at_k(embed(params), jnp.asarray(task.test_pairs), csls_k=cfg.eval_csls_k)
     final["final_loss"] = float(loss)
     logger.close()

@@ -142,6 +142,7 @@ def fit_mtl(cfg: TrainConfig, task: AlignTask | None = None, verbose: bool = Fal
     from tpugraph.train.checkpoint import Checkpointer, abstract_like
 
     ckpt = Checkpointer(cfg.checkpoint_dir, cfg.checkpoint_every)
+    ckpt.install_preemption_handler()
     start_epoch = 0
     batch = None
     # state includes the batch: hard-mode resume mid-interval must reuse the
@@ -175,11 +176,15 @@ def fit_mtl(cfg: TrainConfig, task: AlignTask | None = None, verbose: bool = Fal
                 params, opt_state, batch, jax.random.fold_in(base_key, 2**29 + epoch)
             )
         last = epoch + steps - 1
+        def _save_ckpt(at_epoch):
+            ckpt.maybe_save(at_epoch, {"params": params, "opt_state": opt_state,
+                                       "batch": batch}, force=True)
+
         if ckpt.enabled and (
             (last > 0 and last % cfg.checkpoint_every < steps) or last >= cfg.epochs - 1
+            or ckpt.preempted
         ):
-            ckpt.maybe_save(last, {"params": params, "opt_state": opt_state,
-                                   "batch": batch}, force=True)
+            _save_ckpt(last)
         if cfg.eval_every and (last % cfg.eval_every < steps or last >= cfg.epochs - 1):
             m = hits_at_k(embed(params), jnp.asarray(task.test_pairs), csls_k=cfg.eval_csls_k)
             rec = {
@@ -193,6 +198,13 @@ def fit_mtl(cfg: TrainConfig, task: AlignTask | None = None, verbose: bool = Fal
             if verbose:
                 parts = " ".join(f"{k}={float(v):.4f}" for k, v in aux.items())
                 print(f"[mtl:{cfg.name}] epoch {last} {parts} hits@1 {m['hits@1']:.3f}")
+        if ckpt.preempted:
+            # latch may fire after the save block's check (e.g. during eval)
+            if ckpt.enabled:
+                _save_ckpt(last)
+            break  # exit cleanly for relaunch
+    ckpt.restore_handler()
+    ckpt.close()  # flush async saves (the emergency one especially)
     final = hits_at_k(embed(params), jnp.asarray(task.test_pairs), csls_k=cfg.eval_csls_k)
     final["final_loss"] = float(loss)
     logger.close()
