@@ -26,6 +26,8 @@ sys.path.insert(0, ".")
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--shards", default="1,2,4,8")
+    ap.add_argument("--slices", type=int, default=1,
+                    help="DCN 'slice' axis size (3-D mesh; slice-DP loss batches)")
     ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
     ap.add_argument("--multihost", action="store_true")
     ap.add_argument("--n-ent", type=int, default=20_000, help="entities per side")
@@ -58,8 +60,9 @@ def main():
     results = {}
     for s in [int(x) for x in args.shards.split(",")]:
         cfg = get_config(
-            "dwy100k_dist", n_shards=s, dim=args.dim, epochs=args.epochs,
-            eval_every=0, k_neg=25, neg_every=5, neg_mode="uniform",
+            "dwy100k_dist", n_shards=s, slice_shards=args.slices, dim=args.dim,
+            epochs=args.epochs, eval_every=0, k_neg=25, neg_every=5,
+            neg_mode="uniform",
         )
         t0 = time.perf_counter()
         res = fit_distributed(cfg, task=task)

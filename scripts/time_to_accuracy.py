@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--eval-every", type=int, default=20)
     ap.add_argument("--fast", action="store_true",
                     help="fused intervals + approx MXU mining")
+    ap.add_argument("--recipe", default="v1", choices=["v1", "v3"],
+                    help="v3 = tuned recipe (hard-neg pressure + bootstrapped "
+                         "pairs + CSLS eval; target should be ~0.29)")
     args = ap.parse_args()
 
     import jax
@@ -42,10 +45,18 @@ def main():
 
     task = synthetic_align_task(seed=42, n_ent=args.n_ent, n_rel=60,
                                 n_triples=args.n_triples, drop_frac=0.1, noise_frac=0.1)
-    kw = dict(dim=128, epochs=args.max_epochs, eval_every=args.eval_every,
-              lr=2e-3, gamma=10.0, k_neg=50, neg_every=5, neg_mode="hard")
-    if args.fast:
-        kw.update(steps_per_call=5, neg_metric="sqeuclidean", neg_approx=True)
+    if args.recipe == "v3":
+        kw = dict(dim=128, epochs=args.max_epochs, eval_every=args.eval_every,
+                  lr=2e-3, gamma=15.0, k_neg=100, neg_every=2, neg_mode="hard",
+                  eval_csls_k=10, boot_cap=2500, boot_start=200,
+                  boot_weight=0.5, boot_csls_k=10)
+        if args.fast:
+            kw.update(steps_per_call=2, neg_metric="sqeuclidean", neg_approx=True)
+    else:
+        kw = dict(dim=128, epochs=args.max_epochs, eval_every=args.eval_every,
+                  lr=2e-3, gamma=10.0, k_neg=50, neg_every=5, neg_mode="hard")
+        if args.fast:
+            kw.update(steps_per_call=5, neg_metric="sqeuclidean", neg_approx=True)
     cfg = get_config("base", **kw)
 
     t0 = time.perf_counter()
