@@ -35,3 +35,27 @@ def test_export_and_embedding_roundtrip(tmp_path):
     save_embeddings(str(tmp_path / "embck"), emb)
     back = load_embeddings(str(tmp_path / "embck"))
     np.testing.assert_array_equal(np.asarray(back), np.asarray(emb))
+
+
+def test_topk_alignments_csls_matches_eval_ranking():
+    """CSLS-rescored serving top-1 == the eval module's CSLS ranking winner."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpugraph.serve import topk_alignments
+
+    rng = np.random.default_rng(6)
+    n1, n2, d = 40, 50, 8
+    emb = rng.standard_normal((n1 + n2, d)).astype(np.float32)
+    q_ids = np.arange(n1)
+    c_ids = n1 + np.arange(n2)
+    # dense CSLS oracle
+    from scipy.spatial.distance import cdist
+
+    dmat = cdist(emb[:n1], emb[n1:], metric="cityblock")
+    hub = np.sort(dmat, axis=0)[:5].mean(0)
+    score = 2 * dmat - hub[None, :]
+    want_top1 = n1 + score.argmin(1)
+    vals, ids = topk_alignments(jnp.asarray(emb), q_ids, c_ids, k=3,
+                                block_c=16, csls_k=5)
+    np.testing.assert_array_equal(ids[:, 0], want_top1)

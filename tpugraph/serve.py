@@ -22,19 +22,29 @@ import numpy as np
 from tpugraph.train.losses import pairwise_l1
 
 
-@partial(jax.jit, static_argnames=("k", "block_c"))
-def _topk_blockwise(q, cands, k, block_c=2048):
+@partial(jax.jit, static_argnames=("k", "block_c", "csls_k"))
+def _topk_blockwise(q, cands, k, block_c=2048, csls_k=0):
     s = q.shape[0]
     c, d = cands.shape
+    r_cand = jnp.zeros((c,), jnp.float32)
+    scale = 1.0
+    if csls_k > 0:
+        from tpugraph.train.negatives import _cand_hubness
+
+        r_cand = _cand_hubness(q, cands, csls_k, "cityblock")
+        scale = 2.0
     c_pad = ((c + block_c - 1) // block_c) * block_c
     cands_p = jnp.concatenate([cands, jnp.full((c_pad - c, d), jnp.inf, cands.dtype)])
+    corr_p = jnp.concatenate([r_cand, jnp.zeros(c_pad - c, jnp.float32)])
     blocks = cands_p.reshape(c_pad // block_c, block_c, d)
+    corr_blocks = corr_p.reshape(c_pad // block_c, block_c)
     offsets = jnp.arange(c_pad // block_c, dtype=jnp.int32) * block_c
 
     def body(carry, blk):
         rv, ri = carry
-        cb, off = blk
-        dmat = pairwise_l1(q[:, None, :], cb[None, :, :]).astype(jnp.float32)
+        cb, corr, off = blk
+        dmat = scale * pairwise_l1(q[:, None, :], cb[None, :, :]).astype(jnp.float32) \
+            - corr[None, :]
         cidx = off + jax.lax.broadcasted_iota(jnp.int32, (s, block_c), 1)
         allv = jnp.concatenate([rv, dmat], axis=1)
         alli = jnp.concatenate([ri, cidx], axis=1)
@@ -42,7 +52,7 @@ def _topk_blockwise(q, cands, k, block_c=2048):
         return (-negtop, jnp.take_along_axis(alli, pos, axis=1)), None
 
     init = (jnp.full((s, k), jnp.inf, jnp.float32), jnp.zeros((s, k), jnp.int32))
-    (vals, idx), _ = jax.lax.scan(body, init, (blocks, offsets))
+    (vals, idx), _ = jax.lax.scan(body, init, (blocks, corr_blocks, offsets))
     return vals, idx
 
 
@@ -52,11 +62,16 @@ def topk_alignments(
     candidate_ids: np.ndarray,  # candidate pool (e.g. all KG2 entities)
     k: int = 10,
     block_c: int = 2048,
+    csls_k: int = 0,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Returns (distances (Q, k), candidate entity ids (Q, k)), nearest first."""
+    """Returns (scores (Q, k), candidate entity ids (Q, k)), best first.
+
+    csls_k > 0 ranks by the CSLS-adjusted score 2·d(q,j) − r(j) (candidate
+    hubness vs this query pool; same convention as train/eval.py) — scores
+    are then CSLS values, not raw distances."""
     q = jnp.take(emb, jnp.asarray(query_ids, dtype=jnp.int32), axis=0)
     cands = jnp.take(emb, jnp.asarray(candidate_ids, dtype=jnp.int32), axis=0)
-    vals, idx = _topk_blockwise(q, cands, k, block_c)
+    vals, idx = _topk_blockwise(q, cands, k, block_c, csls_k)
     order = np.argsort(np.asarray(vals), axis=1, kind="stable")
     vals = np.take_along_axis(np.asarray(vals), order, axis=1)
     idx = np.take_along_axis(np.asarray(idx), order, axis=1)
