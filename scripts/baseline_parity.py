@@ -32,6 +32,11 @@ RECIPES = {
     # oracle 0.2994 / tpugraph 0.2966 Hits@1 on the pinned task (2026-08-18)
     "v3": dict(dim=128, epochs=600, lr=2e-3, gamma=15.0, k_neg=100, neg_every=2,
                boot_cap=2500, boot_start=200, boot_weight=0.5, boot_csls_k=10),
+    # v4 = v3 with RAW-distance mutual-NN matching (boot_csls_k=0) — the
+    # boot_sweep winner (tpugraph 0.3046 vs v3's 0.2966); also the variant
+    # that scales (no O(C·S·log) hubness sort in the proposal)
+    "v4": dict(dim=128, epochs=600, lr=2e-3, gamma=15.0, k_neg=100, neg_every=2,
+               boot_cap=2500, boot_start=200, boot_weight=0.5, boot_csls_k=0),
 }
 
 

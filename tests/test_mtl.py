@@ -82,3 +82,29 @@ def test_mtl_interval_fusion_matches():
                                np.asarray(r5.params["encoder"]["emb"]),
                                rtol=1e-5, atol=1e-6)
     assert r1.metrics["hits@1"] == r5.metrics["hits@1"]
+
+
+def test_mtl_bootstrap_trains_and_fuses():
+    """Bootstrapped pair augmentation in the MTL loop: margin/AE get the
+    augmented pairs, Sinkhorn stays on seed pairs; fused == unfused."""
+    import numpy as np
+
+    from tpugraph.configs import get_config
+    from tpugraph.data.synthetic import synthetic_align_task
+    from tpugraph.train.mtl import fit_mtl
+
+    task = synthetic_align_task(seed=21, n_ent=300, n_rel=10, n_triples=1200,
+                                n_attr=12)
+    kw = dict(dim=16, epochs=12, neg_every=4, k_neg=5, eval_every=0,
+              use_sinkhorn=True, sinkhorn_iters=4, use_rel_head=True,
+              rel_k_neg=3, use_attr_head=True, boot_cap=8, boot_start=4,
+              boot_weight=0.5)
+    r1 = fit_mtl(get_config("mtl", steps_per_call=1, **kw), task=task)
+    r2 = fit_mtl(get_config("mtl", steps_per_call=4, **kw), task=task)
+    import jax
+
+    for a, b in zip(jax.tree_util.tree_leaves(r1.params),
+                    jax.tree_util.tree_leaves(r2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    assert np.isfinite(r1.metrics["final_loss"])

@@ -60,11 +60,16 @@ class AlignMTL(nn.Module):
 
     def __call__(self, op, batch: dict, train: bool = False, attr_op=None):
         """batch keys: pairs, neg_l, neg_r, and (per enabled head)
-        rel_triples/rel_neg_t/rel_neg_h, attr_triples."""
+        rel_triples/rel_neg_t/rel_neg_h, attr_triples.  Optional
+        pairs_aug/w: bootstrapped-augmented pairs for the MARGIN loss only —
+        the Sinkhorn head stays on the seed pairs (proposals carry no OT
+        mass; padding rows would distort the transport plan)."""
         c = self.cfg
         emb = self.encoder(op, train=train)
         aux = {}
-        loss = margin_align_loss(emb, batch["pairs"], batch["neg_l"], batch["neg_r"], c.gamma)
+        m_pairs = batch.get("pairs_aug", batch["pairs"])
+        loss = margin_align_loss(emb, m_pairs, batch["neg_l"], batch["neg_r"],
+                                 c.gamma, batch.get("w"))
         aux["margin"] = loss
         if c.use_sinkhorn:
             l_ot = sinkhorn_align_loss(
@@ -83,8 +88,8 @@ class AlignMTL(nn.Module):
             loss = loss + c.attr_weight * l_attr
         if c.use_attr_channel and attr_op is not None:
             ae = self.ae_encoder(op, attr_op)
-            l_ae = margin_align_loss(ae, batch["pairs"], batch["neg_l"], batch["neg_r"],
-                                     c.gamma)
+            l_ae = margin_align_loss(ae, m_pairs, batch["neg_l"], batch["neg_r"],
+                                     c.gamma, batch.get("w"))
             aux["ae"] = l_ae
             loss = loss + c.attr_channel_weight * l_ae
         aux["total"] = loss

@@ -64,14 +64,66 @@ def fit_mtl(cfg: TrainConfig, task: AlignTask | None = None, verbose: bool = Fal
     n1, n = task.kg1.n_ent, task.n_ent
     attr_bs = min(8192, attr_triples.shape[0]) if attr_triples is not None else 0
 
-    def make_batch(key, params=None):
+    use_boot = cfg.boot_cap > 0
+    if use_boot:
+        import numpy as _np
+
+        from tpugraph.train.bootstrap import propose_mutual_nn_pairs
+
+        _m1 = _np.ones(n1, bool)
+        _m1[task.train_pairs[:, 0]] = False
+        _m2 = _np.ones(n - n1, bool)
+        _m2[task.train_pairs[:, 1] - n1] = False
+        boot_mask1, boot_mask2 = jnp.asarray(_m1), jnp.asarray(_m2)
+        ones_seed = jnp.ones((pairs.shape[0],), jnp.float32)
+        boot_placeholder = (
+            jnp.tile(jnp.array([0, n1], jnp.int32), (cfg.boot_cap, 1)),
+            jnp.zeros((cfg.boot_cap,), jnp.float32),
+        )
+
+        def propose(params):
+            # proposals in EVAL space (SE, or combined SE‖AE) — same space
+            # hard mining uses
+            emb = model.apply({"params": params}, op, attr_op=attr_op,
+                              method=model.embed)
+            return propose_mutual_nn_pairs(
+                emb, boot_mask1, boot_mask2, n1, n, cfg.boot_cap,
+                metric=cfg.neg_metric, csls_k=cfg.boot_csls_k)
+
+    def make_batch(key, params=None, epoch=None):
+        """params=None → init-time probe: uniform negatives + placeholder
+        boot (same pytree structure as live batches).  ``epoch`` may be a
+        traced int32 (fused path) — all branching on it is lax.cond."""
         ks = jax.random.split(key, 4)
-        if cfg.neg_mode == "hard" and params is not None:
-            emb = model.apply({"params": params}, op, attr_op=attr_op, method=model.embed)
-            neg_l, neg_r = sample_hard_negatives(emb, pairs, n1, n, cfg.k_neg, metric=cfg.neg_metric, approx=cfg.neg_approx)
+        if use_boot and params is not None:
+            bp, bw = jax.lax.cond(
+                (epoch >= cfg.boot_start) & (epoch > 0),
+                lambda _: propose(params), lambda _: boot_placeholder, None)
+            pairs_m = jnp.concatenate([pairs, bp], 0)
+            w = jnp.concatenate([ones_seed, bw * cfg.boot_weight], 0)
+        elif use_boot:
+            pairs_m = jnp.concatenate([pairs, boot_placeholder[0]], 0)
+            w = jnp.concatenate([ones_seed, boot_placeholder[1]], 0)
         else:
-            neg_l, neg_r = sample_uniform_negatives(ks[0], pairs, n1, n, cfg.k_neg)
+            pairs_m, w = pairs, None
+        if cfg.neg_mode == "hard" and params is not None:
+            def mine(_):
+                emb = model.apply({"params": params}, op, attr_op=attr_op,
+                                  method=model.embed)
+                return sample_hard_negatives(emb, pairs_m, n1, n, cfg.k_neg,
+                                             metric=cfg.neg_metric,
+                                             approx=cfg.neg_approx,
+                                             csls_k=cfg.neg_csls_k)
+
+            def uni(_):
+                return sample_uniform_negatives(ks[0], pairs_m, n1, n, cfg.k_neg)
+
+            neg_l, neg_r = jax.lax.cond(epoch > 0, mine, uni, None)
+        else:
+            neg_l, neg_r = sample_uniform_negatives(ks[0], pairs_m, n1, n, cfg.k_neg)
         batch = {"pairs": pairs, "neg_l": neg_l, "neg_r": neg_r}
+        if use_boot:
+            batch["pairs_aug"], batch["w"] = pairs_m, w
         if cfg.use_rel_head:
             batch["rel_neg_t"], batch["rel_neg_h"] = _rel_batch(ks[1], rel_triples, n, cfg.rel_k_neg)
             batch["rel_triples"] = rel_triples
@@ -97,8 +149,7 @@ def fit_mtl(cfg: TrainConfig, task: AlignTask | None = None, verbose: bool = Fal
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss, aux
 
-    make_batch_jit = jax.jit(make_batch)
-    make_batch_hard_jit = jax.jit(lambda key, params: make_batch(key, params))
+    make_batch_live = jax.jit(lambda key, params, epoch: make_batch(key, params, epoch))
 
     steps = max(1, cfg.steps_per_call)
     if steps > 1 and steps != cfg.neg_every:
@@ -108,15 +159,7 @@ def fit_mtl(cfg: TrainConfig, task: AlignTask | None = None, verbose: bool = Fal
     def train_interval(params, opt_state, epoch0):
         """Fused resample + neg_every steps (see train/loop.py rationale)."""
         bk = jax.random.fold_in(base_key, epoch0)
-        if cfg.neg_mode == "hard":
-            batch = jax.lax.cond(
-                epoch0 > 0,
-                lambda _: make_batch(bk, params),
-                lambda _: make_batch(bk),
-                None,
-            )
-        else:
-            batch = make_batch(bk)
+        batch = make_batch(bk, params, epoch0)
 
         def body(carry, i):
             params, opt_state = carry
@@ -168,10 +211,7 @@ def fit_mtl(cfg: TrainConfig, task: AlignTask | None = None, verbose: bool = Fal
             if epoch % cfg.neg_every == 0 or batch is None:
                 # epoch-derived keys: deterministic across restarts and hosts
                 bk = jax.random.fold_in(base_key, epoch - epoch % cfg.neg_every)
-                if cfg.neg_mode == "hard" and epoch > 0:
-                    batch = make_batch_hard_jit(bk, params)
-                else:
-                    batch = make_batch_jit(bk)
+                batch = make_batch_live(bk, params, jnp.int32(epoch))
             params, opt_state, loss, aux = train_step(
                 params, opt_state, batch, jax.random.fold_in(base_key, 2**29 + epoch)
             )
