@@ -58,16 +58,25 @@ def main():
                     help=">0: CSLS hubness-corrected eval ranking (both systems)")
     ap.add_argument("--neg-csls", type=int, default=0,
                     help=">0: CSLS hubness-corrected hard mining (both systems)")
-    ap.add_argument("--boot-cap", type=int, default=0,
+    # boot-* default to None so the recipe's own values survive (passing a
+    # flag still overrides; a default of 0 would silently disable v3/v4's
+    # bootstrapping)
+    ap.add_argument("--boot-cap", type=int, default=None,
                     help=">0: bootstrapped mutual-NN pair augmentation capacity")
-    ap.add_argument("--boot-start", type=int, default=200)
-    ap.add_argument("--boot-weight", type=float, default=0.5)
-    ap.add_argument("--boot-csls", type=int, default=0)
+    ap.add_argument("--boot-start", type=int, default=None)
+    ap.add_argument("--boot-weight", type=float, default=None)
+    ap.add_argument("--boot-csls", type=int, default=None)
     args = ap.parse_args()
     var = VARIANTS[args.variant]
-    HP = dict(RECIPES[args.recipe], neg_csls_k=args.neg_csls,
-              boot_cap=args.boot_cap, boot_start=args.boot_start,
-              boot_weight=args.boot_weight, boot_csls_k=args.boot_csls)
+    overrides = {k: v for k, v in dict(
+        boot_cap=args.boot_cap, boot_start=args.boot_start,
+        boot_weight=args.boot_weight, boot_csls_k=args.boot_csls,
+    ).items() if v is not None}
+    HP = dict(RECIPES[args.recipe], neg_csls_k=args.neg_csls, **overrides)
+    HP.setdefault("boot_cap", 0)
+    HP.setdefault("boot_start", 200)
+    HP.setdefault("boot_weight", 0.5)
+    HP.setdefault("boot_csls_k", 0)
 
     from tpugraph.data.synthetic import synthetic_align_task
 

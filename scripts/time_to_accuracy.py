@@ -30,9 +30,13 @@ def main():
     ap.add_argument("--eval-every", type=int, default=20)
     ap.add_argument("--fast", action="store_true",
                     help="fused intervals + approx MXU mining")
-    ap.add_argument("--recipe", default="v1", choices=["v1", "v3"],
+    ap.add_argument("--recipe", default="v1", choices=["v1", "v3", "v4"],
                     help="v3 = tuned recipe (hard-neg pressure + bootstrapped "
-                         "pairs + CSLS eval; target should be ~0.29)")
+                         "pairs + CSLS eval; target should be ~0.29); v4 = v3 "
+                         "with raw-distance mutual-NN matching (boot_csls_k=0)")
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="activation compute dtype (params/accum stay fp32)")
     args = ap.parse_args()
 
     import jax
@@ -45,11 +49,11 @@ def main():
 
     task = synthetic_align_task(seed=42, n_ent=args.n_ent, n_rel=60,
                                 n_triples=args.n_triples, drop_frac=0.1, noise_frac=0.1)
-    if args.recipe == "v3":
+    if args.recipe in ("v3", "v4"):
         kw = dict(dim=128, epochs=args.max_epochs, eval_every=args.eval_every,
                   lr=2e-3, gamma=15.0, k_neg=100, neg_every=2, neg_mode="hard",
-                  eval_csls_k=10, boot_cap=2500, boot_start=200,
-                  boot_weight=0.5, boot_csls_k=10)
+                  eval_csls_k=10, boot_cap=2500, boot_start=200, boot_weight=0.5,
+                  boot_csls_k=10 if args.recipe == "v3" else 0)
         if args.fast:
             kw.update(steps_per_call=2, neg_metric="sqeuclidean", neg_approx=True)
     else:
@@ -57,7 +61,7 @@ def main():
                   lr=2e-3, gamma=10.0, k_neg=50, neg_every=5, neg_mode="hard")
         if args.fast:
             kw.update(steps_per_call=5, neg_metric="sqeuclidean", neg_approx=True)
-    cfg = get_config("base", **kw)
+    cfg = get_config("base", param_dtype=args.dtype, **kw)
 
     t0 = time.perf_counter()
     res = fit(cfg, task=task)
@@ -72,6 +76,8 @@ def main():
             break
     print(json.dumps({
         "metric": "hits@1_time_to_accuracy",
+        "recipe": args.recipe,
+        "dtype": args.dtype,
         "target_hits@1": args.target,
         "reached": hit_epoch is not None,
         "epochs_to_target": hit_epoch,
