@@ -258,21 +258,27 @@ def test_sinkhorn_loss_parity(task):
         emb_t0 = tmodel(adj_t)
     pairs = task.train_pairs.astype(np.int64)
     emb_req = emb_t0.detach().requires_grad_(True)
-    loss_t = torch_ref.torch_sinkhorn_align_loss(emb_req, torch.from_numpy(pairs),
-                                                 tau=0.1, n_iters=12)
-    loss_t.backward()
+    # pin the oracle to one thread: torch's threaded CPU reductions make the
+    # Sinkhorn iterates (exp(-d/tau) amplification) run-to-run dependent,
+    # which made this test flake in full-suite runs while passing alone
+    n_threads = torch.get_num_threads()
+    torch.set_num_threads(1)
+    try:
+        loss_t = torch_ref.torch_sinkhorn_align_loss(emb_req, torch.from_numpy(pairs),
+                                                     tau=0.1, n_iters=12)
+        loss_t.backward()
+    finally:
+        torch.set_num_threads(n_threads)
     emb_j = jnp.asarray(emb_t0.numpy())
     jfn = lambda e: sinkhorn_align_loss(e, jnp.asarray(task.train_pairs),
                                         tau=0.1, n_iters=12, block_q=64)
-    # tolerances: Sinkhorn iterates amplify fp32 reduction-order noise, and
-    # torch's threaded CPU reductions make that noise run-to-run dependent —
-    # at rel=1e-4/rtol=5e-3 this failed ~1-in-4 full-suite runs (2026-08-18)
-    # while passing in isolation.  The comparison is still tight enough to
-    # catch any real formula mismatch (wrong tau/iters shifts the loss >1%).
     assert float(jfn(emb_j)) == pytest.approx(loss_t.item(), rel=1e-3)
-    g_j = jax.grad(jfn)(emb_j)
-    np.testing.assert_allclose(np.asarray(g_j), emb_req.grad.numpy(),
-                               rtol=2e-2, atol=1e-6)
+    g_j = np.asarray(jax.grad(jfn)(emb_j))
+    g_t = emb_req.grad.numpy()
+    # norm-based comparison: elementwise rtol is brittle where the oracle has
+    # (near-)zero entries that fp32 reduction-order noise perturbs
+    rel_l2 = np.linalg.norm(g_j - g_t) / max(np.linalg.norm(g_t), 1e-30)
+    assert rel_l2 < 1e-3, f"gradient relative L2 error {rel_l2:.2e}"
 
 
 def test_csls_eval_parity(task):
