@@ -58,6 +58,31 @@ def test_ell_handles_isolated_and_hub_rows():
     np.testing.assert_allclose(out[51:], 0.0)  # isolated rows exactly zero
 
 
+def test_split_diag_matches_unsplit():
+    """The gather-free diagonal path is numerically the same operator."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpugraph.kernels.spmm_ell import spmm_ell
+
+    rng = np.random.default_rng(1)
+    n, d = 150, 24
+    tri = _rand_triples(rng, n, 6, 500)
+    src, dst, w = coo_from_triples(n, tri, weighting="funifun")  # adds self-loops
+    w = coo_normalize(src, dst, w, n, "sym")
+    plain = build_ell_operator(src, dst, w, n)
+    split = build_ell_operator(src, dst, w, n, split_diag=True)
+    assert split.nnz == plain.nnz  # diag edges still counted
+    assert split.fwd.nnz == plain.nnz - n  # ...but not stored in the ELL
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(spmm_ell(split, x)),
+                               np.asarray(spmm_ell(plain, x)),
+                               rtol=2e-6, atol=2e-6)
+    g0 = jax.grad(lambda x: jnp.sum(spmm_ell(plain, x) ** 2))(x)
+    g1 = jax.grad(lambda x: jnp.sum(spmm_ell(split, x) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=2e-5, atol=2e-5)
+
+
 def test_fit_with_ell_impl_matches_sorted():
     """End-to-end: identical training curves for 'ell' vs 'sorted' impls."""
     from tpugraph.configs import get_config

@@ -55,7 +55,11 @@ def main(argv=None):
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--metrics", default=None, help="JSONL metrics path")
     ap.add_argument("--profile-dir", default=None)
-    ap.add_argument("--set", nargs="*", default=[], help="key=value config overrides")
+    # action="append" + nargs="*": both `--set a=1 b=2` and repeated
+    # `--set a=1 --set b=2` work (repeated flags used to silently drop all
+    # but the last)
+    ap.add_argument("--set", nargs="*", action="append", default=[],
+                    help="key=value config overrides")
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("--debug-nans", action="store_true",
                     help="dev flag: raise on the first NaN anywhere (jax_debug_nans)")
@@ -66,7 +70,7 @@ def main(argv=None):
         jax.config.update("jax_debug_nans", True)
 
     cfg = get_config(args.config)
-    overrides = parse_overrides(cfg, args.set)
+    overrides = parse_overrides(cfg, [p for grp in args.set for p in grp])
     for k, flag in (("dataset", args.dataset), ("data_root", args.data_root),
                     ("pair", args.pair), ("epochs", args.epochs),
                     ("metrics_path", args.metrics), ("profile_dir", args.profile_dir)):

@@ -34,17 +34,27 @@ def _ell_apply(m: EllMatrix, x: jax.Array) -> jax.Array:
     return jnp.take(stacked, m.row_order, axis=0)
 
 
+def _apply_with_diag(m: EllMatrix, diag, x: jax.Array) -> jax.Array:
+    """ELL part + gather-free diagonal part (see EllOperator.diag).  The
+    diagonal multiply accumulates in fp32 like the ELL einsum does."""
+    y = _ell_apply(m, x)
+    if diag is not None:
+        y = y + (diag[:, None] * x.astype(jnp.float32)).astype(x.dtype)
+    return y
+
+
 @jax.custom_vjp
 def spmm_ell(op: EllOperator, x: jax.Array) -> jax.Array:
-    return _ell_apply(op.fwd, x)
+    return _apply_with_diag(op.fwd, op.diag, x)
 
 
 def _fwd(op, x):
-    return _ell_apply(op.fwd, x), op
+    return _apply_with_diag(op.fwd, op.diag, x), op
 
 
 def _bwd(op, g):
-    dx = _ell_apply(op.bwd, g)
+    # the diagonal is symmetric, so Aᵀ = Bᵀ + diag with the same vector
+    dx = _apply_with_diag(op.bwd, op.diag, g)
     zero_op = jax.tree_util.tree_map(_zero_cot, op)
     return zero_op, dx
 

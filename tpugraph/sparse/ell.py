@@ -115,10 +115,20 @@ def build_ell(
 @jax.tree_util.register_dataclass
 @dataclass
 class EllOperator:
-    """Forward (A) and transpose (Aᵀ) ELL matrices for fast fwd+bwd SpMM."""
+    """Forward (A) and transpose (Aᵀ) ELL matrices for fast fwd+bwd SpMM.
+
+    ``diag`` (square A only): the matrix diagonal split out of both ELLs —
+    self-loop edges need NO gather (they are a broadcast multiply with
+    perfectly sequential access), and at KG scale they are ~16% of all
+    edges; splitting them measured +15% fwd+bwd edges/s on the v5e chip
+    (scripts/ell_diag_probe.py, 2026-08-18).  ``n_diag`` counts the edges
+    carried by ``diag`` so ``nnz`` still reports the full logical edge count.
+    """
 
     fwd: EllMatrix
     bwd: EllMatrix
+    diag: jax.Array | None = None  # (n_rows,) float32, or None
+    n_diag: int = field(default=0, metadata=dict(static=True))
 
     @property
     def n_rows(self) -> int:
@@ -126,13 +136,36 @@ class EllOperator:
 
     @property
     def nnz(self) -> int:
-        return self.fwd.nnz
+        return self.fwd.nnz + self.n_diag
 
 
 def build_ell_operator(
-    src: np.ndarray, dst: np.ndarray, w: np.ndarray, n_rows: int, n_cols: int | None = None
+    src: np.ndarray,
+    dst: np.ndarray,
+    w: np.ndarray,
+    n_rows: int,
+    n_cols: int | None = None,
+    split_diag: bool = False,
 ) -> EllOperator:
-    """``n_cols`` (rectangular A): the transpose ELL has n_cols output rows."""
+    """``n_cols`` (rectangular A): the transpose ELL has n_cols output rows.
+
+    ``split_diag`` (square A only) routes diagonal entries through the
+    gather-free ``diag`` vector instead of the ELL buckets."""
+    if split_diag:
+        if n_cols is not None and n_cols != n_rows:
+            raise ValueError("split_diag requires a square matrix")
+        import jax.numpy as jnp
+
+        on_diag = src == dst
+        d = np.zeros(n_rows)
+        np.add.at(d, src[on_diag], w[on_diag])
+        src, dst, w = src[~on_diag], dst[~on_diag], w[~on_diag]
+        return EllOperator(
+            fwd=build_ell(src, dst, w, n_rows),
+            bwd=build_ell(dst, src, w, n_rows),
+            diag=jnp.asarray(d, jnp.float32),
+            n_diag=int(on_diag.sum()),
+        )
     return EllOperator(
         fwd=build_ell(src, dst, w, n_rows),
         bwd=build_ell(dst, src, w, n_cols if n_cols is not None else n_rows),

@@ -141,3 +141,7 @@ class SpMMOperator:
     @property
     def n_rows(self) -> int:
         return self.fwd.n_rows
+
+    @property
+    def nnz(self) -> int:
+        return self.fwd.nnz

@@ -118,12 +118,27 @@ class HaloEll:
 
 
 def build_halo_ell(hg: HaloGraph) -> HaloEll:
+    import jax.numpy as jnp
+
     loc_edges = _extract(hg, "loc")
     bnd_edges = _extract(hg, "bnd")
     n_ext = hg.n_shards * hg.halo_b
+    # split the diagonal (self-loops — always shard-local) out of the local
+    # group: gather-free broadcast multiply, +15% measured on-chip SpMM rate
+    # (see EllOperator.diag); stacked (S, n_loc) so shard_map splits it
+    diag = np.zeros((hg.n_shards, hg.n_loc), np.float32)
+    loc_off = []
+    n_diag = 0
+    for sh, (s_, d_, w_) in enumerate(loc_edges):
+        on_d = s_ == d_
+        np.add.at(diag[sh], d_[on_d], w_[on_d])
+        n_diag += int(on_d.sum())
+        loc_off.append((s_[~on_d], d_[~on_d], w_[~on_d]))
     loc = EllOperator(
-        fwd=_build_stacked_ell(loc_edges, hg.n_loc),
-        bwd=_build_stacked_ell([(d, s, w) for s, d, w in loc_edges], hg.n_loc),
+        fwd=_build_stacked_ell(loc_off, hg.n_loc),
+        bwd=_build_stacked_ell([(d, s, w) for s, d, w in loc_off], hg.n_loc),
+        diag=jnp.asarray(diag),
+        n_diag=n_diag,
     )
     bnd = EllOperator(
         fwd=_build_stacked_ell(bnd_edges, hg.n_loc),

@@ -254,7 +254,7 @@ def fit(
     else:
         cur_boot = None
         pairs_t, weights = pairs, None
-    nnz = op.fwd.nnz
+    nnz = op.nnz  # full logical edge count (incl. any split-out diagonal)
     loss = restored_loss if restored_loss is not None else jnp.nan
     t_start = time.perf_counter()
     for epoch in range(start_epoch, cfg.epochs, steps):
