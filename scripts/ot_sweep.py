@@ -1,0 +1,56 @@
+"""Sinkhorn-OT-loss recipe sweep on the pinned task (tpugraph side only —
+the oracle is only run to confirm a winner via baseline_parity.py).
+
+Question: does adding the config[2] Sinkhorn OT alignment loss to the tuned
+margin+bootstrap recipe (v4) move Hits@1?  All variants run through fit_mtl
+(use_sinkhorn=True) so the key schedule is identical; the control is
+sinkhorn_weight=0.0, which zeroes the OT gradient contribution.
+
+    JAX_PLATFORMS=cpu python scripts/ot_sweep.py [--variants a,b,...]
+
+Prints one JSON line per variant.
+"""
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+BASE = dict(dim=128, epochs=600, lr=2e-3, gamma=15.0, k_neg=100, neg_every=2,
+            eval_csls_k=10, neg_mode="hard", use_sinkhorn=True,
+            boot_cap=2500, boot_start=200, boot_weight=0.5, boot_csls_k=0)
+
+VARIANTS = {
+    # v4 through the MTL trainer, OT gradient zeroed — the control
+    "ctrl": dict(sinkhorn_weight=0.0),
+    "w01": dict(sinkhorn_weight=0.1),
+    "w03": dict(sinkhorn_weight=0.3),
+    "w10": dict(sinkhorn_weight=1.0),
+    # temperature around the default 0.05 at the mid weight
+    "w03_tau02": dict(sinkhorn_weight=0.3, sinkhorn_tau=0.02),
+    "w03_tau10": dict(sinkhorn_weight=0.3, sinkhorn_tau=0.1),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", default=",".join(VARIANTS))
+    args = ap.parse_args()
+
+    from tpugraph.configs import get_config
+    from tpugraph.data.synthetic import synthetic_align_task
+    from tpugraph.train.mtl import fit_mtl
+
+    task = synthetic_align_task(n_ent=5000, n_rel=60, n_triples=15000, seed=42,
+                                drop_frac=0.1, noise_frac=0.1)
+    for name in args.variants.split(","):
+        hp = dict(BASE, **VARIANTS[name])
+        res = fit_mtl(get_config("base", eval_every=0, **hp), task=task)
+        print(json.dumps({"variant": name,
+                          **{k: round(v, 4) for k, v in res.metrics.items()
+                             if k in ("hits@1", "hits@10", "mrr")}}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
