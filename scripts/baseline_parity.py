@@ -37,6 +37,12 @@ RECIPES = {
     # that scales (no O(C·S·log) hubness sort in the proposal)
     "v4": dict(dim=128, epochs=600, lr=2e-3, gamma=15.0, k_neg=100, neg_every=2,
                boot_cap=2500, boot_start=200, boot_weight=0.5, boot_csls_k=0),
+    # v5 = v4 + Sinkhorn OT alignment NLL on the seed pairs (ot_sweep.py
+    # rounds 1–6 winner: weight 3.0, tau 0.3 — tpugraph 0.598 Hits@1 on the
+    # pinned task vs v4's 0.305; the default tau 0.05 only reached 0.43)
+    "v5": dict(dim=128, epochs=600, lr=2e-3, gamma=15.0, k_neg=100, neg_every=2,
+               boot_cap=2500, boot_start=200, boot_weight=0.5, boot_csls_k=0,
+               use_sinkhorn=True, sinkhorn_weight=3.0, sinkhorn_tau=0.3),
 }
 
 
@@ -94,10 +100,13 @@ def main():
                           **{k: round(v, 4) for k, v in m.items()}}), flush=True)
 
     from tpugraph.configs import get_config
-    from tpugraph.train.loop import fit
 
     cfg = get_config("base", neg_mode="hard", eval_every=100,
                      eval_csls_k=args.eval_csls, **HP, **var)
+    if cfg.use_sinkhorn:  # OT head runs through the MTL trainer (driver.py)
+        from tpugraph.train.mtl import fit_mtl as fit
+    else:
+        from tpugraph.train.loop import fit
     res = fit(cfg, task=task)
     results["tpugraph"] = res.metrics
     print(json.dumps({"system": "tpugraph", "scale": args.scale,

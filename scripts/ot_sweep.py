@@ -30,6 +30,33 @@ VARIANTS = {
     # temperature around the default 0.05 at the mid weight
     "w03_tau02": dict(sinkhorn_weight=0.3, sinkhorn_tau=0.02),
     "w03_tau10": dict(sinkhorn_weight=0.3, sinkhorn_tau=0.1),
+    # first sweep was monotone in weight (0.299 → 0.432 at w=1.0): go higher
+    "w20": dict(sinkhorn_weight=2.0),
+    "w30": dict(sinkhorn_weight=3.0),
+    "w10_tau10": dict(sinkhorn_weight=1.0, sinkhorn_tau=0.1),
+    "w10_iters40": dict(sinkhorn_weight=1.0, sinkhorn_iters=40),
+    # OT-dominant: margin pressure relaxed (gamma small), OT carries training
+    "w10_g5": dict(sinkhorn_weight=1.0, gamma=5.0),
+    # round 3: tau=0.1 at w=1.0 was the round-2 best (0.454) — probe tau up
+    "w10_tau20": dict(sinkhorn_weight=1.0, sinkhorn_tau=0.2),
+    "w10_tau30": dict(sinkhorn_weight=1.0, sinkhorn_tau=0.3),
+    "w20_tau10": dict(sinkhorn_weight=2.0, sinkhorn_tau=0.1),
+    "w10_tau15": dict(sinkhorn_weight=1.0, sinkhorn_tau=0.15),
+    # round 4: still monotone in tau at w=1.0 (0.554 at tau=0.3) — keep going
+    "w10_tau50": dict(sinkhorn_weight=1.0, sinkhorn_tau=0.5),
+    "w10_tau70": dict(sinkhorn_weight=1.0, sinkhorn_tau=0.7),
+    "w10_tau100": dict(sinkhorn_weight=1.0, sinkhorn_tau=1.0),
+    "w05_tau30": dict(sinkhorn_weight=0.5, sinkhorn_tau=0.3),
+    "w20_tau30": dict(sinkhorn_weight=2.0, sinkhorn_tau=0.3),
+    # round 5: w20_tau30 hit 0.584 — weight matters again at higher tau
+    "w30_tau30": dict(sinkhorn_weight=3.0, sinkhorn_tau=0.3),
+    "w40_tau30": dict(sinkhorn_weight=4.0, sinkhorn_tau=0.3),
+    "w20_tau40": dict(sinkhorn_weight=2.0, sinkhorn_tau=0.4),
+    "w30_tau40": dict(sinkhorn_weight=3.0, sinkhorn_tau=0.4),
+    # round 6: w=3/tau=0.3 is the plateau peak (0.598) — check longer
+    # training and softer margin pressure at that point
+    "w30_tau30_long": dict(sinkhorn_weight=3.0, sinkhorn_tau=0.3, epochs=900),
+    "w30_tau30_g10": dict(sinkhorn_weight=3.0, sinkhorn_tau=0.3, gamma=10.0),
 }
 
 

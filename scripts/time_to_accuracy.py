@@ -30,10 +30,12 @@ def main():
     ap.add_argument("--eval-every", type=int, default=20)
     ap.add_argument("--fast", action="store_true",
                     help="fused intervals + approx MXU mining")
-    ap.add_argument("--recipe", default="v1", choices=["v1", "v3", "v4"],
+    ap.add_argument("--recipe", default="v1", choices=["v1", "v3", "v4", "v5"],
                     help="v3 = tuned recipe (hard-neg pressure + bootstrapped "
                          "pairs + CSLS eval; target should be ~0.29); v4 = v3 "
-                         "with raw-distance mutual-NN matching (boot_csls_k=0)")
+                         "with raw-distance mutual-NN matching (boot_csls_k=0); "
+                         "v5 = v4 + Sinkhorn OT loss (w=3, tau=0.3; target "
+                         "should be ~0.58)")
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="activation compute dtype (params/accum stay fp32)")
@@ -45,15 +47,16 @@ def main():
 
     from tpugraph.configs import get_config
     from tpugraph.data.synthetic import synthetic_align_task
-    from tpugraph.train.loop import fit
 
     task = synthetic_align_task(seed=42, n_ent=args.n_ent, n_rel=60,
                                 n_triples=args.n_triples, drop_frac=0.1, noise_frac=0.1)
-    if args.recipe in ("v3", "v4"):
+    if args.recipe in ("v3", "v4", "v5"):
         kw = dict(dim=128, epochs=args.max_epochs, eval_every=args.eval_every,
                   lr=2e-3, gamma=15.0, k_neg=100, neg_every=2, neg_mode="hard",
                   eval_csls_k=10, boot_cap=2500, boot_start=200, boot_weight=0.5,
                   boot_csls_k=10 if args.recipe == "v3" else 0)
+        if args.recipe == "v5":
+            kw.update(use_sinkhorn=True, sinkhorn_weight=3.0, sinkhorn_tau=0.3)
         if args.fast:
             kw.update(steps_per_call=2, neg_metric="sqeuclidean", neg_approx=True)
     else:
@@ -62,6 +65,10 @@ def main():
         if args.fast:
             kw.update(steps_per_call=5, neg_metric="sqeuclidean", neg_approx=True)
     cfg = get_config("base", param_dtype=args.dtype, **kw)
+    if cfg.use_sinkhorn:  # OT head runs through the MTL trainer (driver.py)
+        from tpugraph.train.mtl import fit_mtl as fit
+    else:
+        from tpugraph.train.loop import fit
 
     t0 = time.perf_counter()
     res = fit(cfg, task=task)

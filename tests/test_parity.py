@@ -281,6 +281,79 @@ def test_sinkhorn_loss_parity(task):
     assert rel_l2 < 1e-3, f"gradient relative L2 error {rel_l2:.2e}"
 
 
+def test_joint_margin_ot_sgd_trajectory_matches(task):
+    """Recipe v5 composition: L = margin + λ_ot·sinkhorn, the exact joint
+    loss train_oracle(use_sinkhorn=True) and AlignMTL(use_sinkhorn=True)
+    train with — same weights + same negatives + SGD(0.1) → allclose params
+    after 2 steps.  γ large keeps every hinge active (see the margin-only
+    trajectory test); τ=0.1/12 iters matches the Sinkhorn loss parity test's
+    well-conditioned regime."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tpugraph.train.losses import margin_align_loss
+    from tpugraph.train.ot import sinkhorn_align_loss
+
+    tmodel, adj_t, jmodel, params, op = _setup(task)
+    rng = np.random.default_rng(1)
+    neg_l, neg_r = torch_ref.sample_negatives(rng, task.train_pairs, task.kg1.n_ent,
+                                              task.n_ent, k=5)
+    gamma, lr, w_ot, tau, iters = 1000.0, 0.1, 1.0, 0.1, 12
+    pairs_t = torch.from_numpy(task.train_pairs.astype(np.int64))
+    n_threads = torch.get_num_threads()
+    torch.set_num_threads(1)  # see test_sinkhorn_loss_parity
+    try:
+        opt_t = torch.optim.SGD(tmodel.parameters(), lr=lr)
+        for _ in range(2):
+            opt_t.zero_grad()
+            emb = tmodel(adj_t)
+            loss = torch_ref.margin_align_loss(
+                emb, pairs_t, torch.from_numpy(neg_l), torch.from_numpy(neg_r), gamma
+            ) + w_ot * torch_ref.torch_sinkhorn_align_loss(emb, pairs_t,
+                                                           tau=tau, n_iters=iters)
+            loss.backward()
+            opt_t.step()
+    finally:
+        torch.set_num_threads(n_threads)
+
+    tx = optax.sgd(lr)
+    opt_state = tx.init(params)
+    pairs_j = jnp.asarray(task.train_pairs)
+    nl, nr = jnp.asarray(neg_l), jnp.asarray(neg_r)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            emb = jmodel.apply({"params": p}, op)
+            return (margin_align_loss(emb, pairs_j, nl, nr, gamma)
+                    + w_ot * sinkhorn_align_loss(emb, pairs_j, tau=tau,
+                                                 n_iters=iters, block_q=64))
+
+        grads = jax.grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    for _ in range(2):
+        params, opt_state = step(params, opt_state)
+
+    final_t = torch_ref.export_params(tmodel)
+    np.testing.assert_allclose(np.asarray(params["emb"]), final_t["emb"],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(params["gc1"]["w"]), final_t["gc1"]["w"],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_train_oracle_with_sinkhorn_runs(task):
+    """train_oracle(use_sinkhorn=True) — the v5 oracle loop — trains and
+    returns finite metrics (the composition itself is covered by the
+    trajectory test above)."""
+    _, m = torch_ref.train_oracle(task, dim=16, epochs=3, neg_mode="uniform",
+                                  use_sinkhorn=True, sinkhorn_weight=1.0,
+                                  eval_every=10)
+    assert np.isfinite(m["final_loss"]) and 0.0 <= m["hits@1"] <= 1.0
+
+
 def test_csls_eval_parity(task):
     """CSLS-corrected ranking matches between the torch oracle and tpugraph."""
     import jax.numpy as jnp

@@ -251,6 +251,10 @@ def train_oracle(
     boot_start: int = 100,
     boot_weight: float = 1.0,
     boot_csls_k: int = 0,
+    use_sinkhorn: bool = False,  # add the OT alignment NLL on the seed pairs
+    sinkhorn_weight: float = 1.0,
+    sinkhorn_tau: float = 0.05,
+    sinkhorn_iters: int = 20,
     seed: int = 0,
     eval_every: int = 50,
     eval_csls_k: int = 0,
@@ -296,6 +300,12 @@ def train_oracle(
         opt.zero_grad()
         emb = model(adj)
         loss = margin_align_loss(emb, pairs, neg_l, neg_r, gamma, weights=w_t)
+        if use_sinkhorn:
+            # mirrors models/align.AlignMTL: OT NLL on the raw seed pairs
+            # (not the boot-augmented set), added with its joint weight
+            loss = loss + sinkhorn_weight * torch_sinkhorn_align_loss(
+                emb, torch.from_numpy(task.train_pairs.astype(np.int64)),
+                tau=sinkhorn_tau, n_iters=sinkhorn_iters)
         loss.backward()
         opt.step()
         if verbose and (epoch % eval_every == 0 or epoch == epochs - 1):
