@@ -57,6 +57,17 @@ VARIANTS = {
     # training and softer margin pressure at that point
     "w30_tau30_long": dict(sinkhorn_weight=3.0, sinkhorn_tau=0.3, epochs=900),
     "w30_tau30_g10": dict(sinkhorn_weight=3.0, sinkhorn_tau=0.3, gamma=10.0),
+    # round 7: ablations at the adopted v5 point
+    "v5_dim256": dict(sinkhorn_weight=3.0, sinkhorn_tau=0.3, dim=256),
+    "v5_noboot": dict(sinkhorn_weight=3.0, sinkhorn_tau=0.3, boot_cap=0),
+    # round 8: dim 256 pays under OT pressure (0.629 vs 0.598; it HURT at v1
+    # pressure) — probe the dimension/lr surface at the v5 point
+    "v5_dim384": dict(sinkhorn_weight=3.0, sinkhorn_tau=0.3, dim=384),
+    "v5_dim512": dict(sinkhorn_weight=3.0, sinkhorn_tau=0.3, dim=512),
+    "v5_dim256_lr1e3": dict(sinkhorn_weight=3.0, sinkhorn_tau=0.3, dim=256,
+                            lr=1e-3),
+    "v5_dim256_long": dict(sinkhorn_weight=3.0, sinkhorn_tau=0.3, dim=256,
+                           epochs=900),
 }
 
 

@@ -108,11 +108,15 @@ CONFIGS: dict[str, TrainConfig] = {
     "highway": TrainConfig(
         name="highway", pair="ja_en", weighting="funifun", norm="rw", highway=True
     ),
-    # config[2]: alignment + Sinkhorn OT head (fused SDDMM distance + on-device OT)
-    "sinkhorn": TrainConfig(name="sinkhorn", use_sinkhorn=True),
+    # config[2]: alignment + Sinkhorn OT head (fused SDDMM distance + on-device
+    # OT).  w/tau are the ot_sweep.py round 1-6 optimum (BASELINE.md v5 row):
+    # the naive tau 0.05 leaves half the accuracy gain on the table.
+    "sinkhorn": TrainConfig(name="sinkhorn", use_sinkhorn=True,
+                            sinkhorn_weight=3.0, sinkhorn_tau=0.3),
     # config[3]: full multi-task: alignment + relation/attribute heads, joint weighting
     "mtl": TrainConfig(
-        name="mtl", use_sinkhorn=True, use_rel_head=True, use_attr_head=True
+        name="mtl", use_sinkhorn=True, use_rel_head=True, use_attr_head=True,
+        sinkhorn_weight=3.0, sinkhorn_tau=0.3,
     ),
     # config[4]: edge-partitioned multi-host DWY100K-scale, boundary all-to-all
     "dwy100k_dist": TrainConfig(
