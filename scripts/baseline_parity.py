@@ -43,6 +43,12 @@ RECIPES = {
     "v5": dict(dim=128, epochs=600, lr=2e-3, gamma=15.0, k_neg=100, neg_every=2,
                boot_cap=2500, boot_start=200, boot_weight=0.5, boot_csls_k=0,
                use_sinkhorn=True, sinkhorn_weight=3.0, sinkhorn_tau=0.3),
+    # v6 = v5 at dim 256 (ot_sweep round 7-9: dim 256 pays under OT pressure
+    # — 0.6289 vs 0.5977 — where it hurt at v1 pressure; 384/512 collapse;
+    # the v5 OT constants re-verified optimal at dim 256)
+    "v6": dict(dim=256, epochs=600, lr=2e-3, gamma=15.0, k_neg=100, neg_every=2,
+               boot_cap=2500, boot_start=200, boot_weight=0.5, boot_csls_k=0,
+               use_sinkhorn=True, sinkhorn_weight=3.0, sinkhorn_tau=0.3),
 }
 
 

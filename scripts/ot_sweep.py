@@ -68,6 +68,12 @@ VARIANTS = {
                             lr=1e-3),
     "v5_dim256_long": dict(sinkhorn_weight=3.0, sinkhorn_tau=0.3, dim=256,
                            epochs=900),
+    # round 9: dim 256 is the sweet spot (384/512 collapse Hits@1 to 0.51) —
+    # re-check the OT constants there before adopting v6
+    "v5_dim256_w20": dict(sinkhorn_weight=2.0, sinkhorn_tau=0.3, dim=256),
+    "v5_dim256_w40": dict(sinkhorn_weight=4.0, sinkhorn_tau=0.3, dim=256),
+    "v5_dim256_tau20": dict(sinkhorn_weight=3.0, sinkhorn_tau=0.2, dim=256),
+    "v5_dim256_tau40": dict(sinkhorn_weight=3.0, sinkhorn_tau=0.4, dim=256),
 }
 
 

@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="activation compute dtype (params/accum stay fp32)")
+    ap.add_argument("--ot-pairs", type=int, default=0,
+                    help=">0: per-interval seed subsample for the OT loss "
+                         "(caps the S×S transport problem at DWY100K scale)")
     args = ap.parse_args()
 
     import jax
@@ -56,7 +59,8 @@ def main():
                   eval_csls_k=10, boot_cap=2500, boot_start=200, boot_weight=0.5,
                   boot_csls_k=10 if args.recipe == "v3" else 0)
         if args.recipe == "v5":
-            kw.update(use_sinkhorn=True, sinkhorn_weight=3.0, sinkhorn_tau=0.3)
+            kw.update(use_sinkhorn=True, sinkhorn_weight=3.0, sinkhorn_tau=0.3,
+                      sinkhorn_pairs=args.ot_pairs)
         if args.fast:
             kw.update(steps_per_call=2, neg_metric="sqeuclidean", neg_approx=True)
     else:

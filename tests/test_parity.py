@@ -344,6 +344,22 @@ def test_joint_margin_ot_sgd_trajectory_matches(task):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_sinkhorn_pairs_subsample_trains(task):
+    """sinkhorn_pairs caps the OT problem: both trainers run with a
+    per-interval seed subsample and produce finite losses/metrics."""
+    from tpugraph.configs import get_config
+    from tpugraph.train.mtl import fit_mtl
+
+    cfg = get_config("sinkhorn", dim=16, epochs=3, eval_every=0,
+                     neg_mode="uniform", k_neg=4, sinkhorn_pairs=32)
+    res = fit_mtl(cfg, task=task)
+    assert np.isfinite(res.metrics["final_loss"])
+    _, m = torch_ref.train_oracle(task, dim=16, epochs=3, neg_mode="uniform",
+                                  use_sinkhorn=True, sinkhorn_pairs=32,
+                                  eval_every=10)
+    assert np.isfinite(m["final_loss"])
+
+
 def test_train_oracle_with_sinkhorn_runs(task):
     """train_oracle(use_sinkhorn=True) — the v5 oracle loop — trains and
     returns finite metrics (the composition itself is covered by the

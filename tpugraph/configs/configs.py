@@ -62,6 +62,8 @@ class TrainConfig:
     sinkhorn_weight: float = 1.0
     sinkhorn_iters: int = 20
     sinkhorn_tau: float = 0.05  # entropic regularization temperature
+    sinkhorn_pairs: int = 0  # >0: subsample this many seed pairs per interval
+    # for the OT loss (caps the S×S transport problem at DWY100K+ seed counts)
     use_rel_head: bool = False
     rel_weight: float = 0.25
     rel_k_neg: int = 10

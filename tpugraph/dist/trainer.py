@@ -167,6 +167,12 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
         )
     if cfg.param_dtype not in ("float32", "bfloat16"):
         raise ValueError(f"unsupported param_dtype {cfg.param_dtype!r}")
+    if cfg.sinkhorn_pairs > 0:
+        raise ValueError(
+            "fit_distributed does not support sinkhorn_pairs — the ring "
+            "Sinkhorn loss already scales without materializing S×S; "
+            "rejecting rather than silently ignoring"
+        )
     use_ae = cfg.use_attr_channel
     if use_ae and (task.merged_attr_triples is None or task.n_attr == 0):
         raise ValueError("attribute channel enabled but the task has no attribute triples")

@@ -72,8 +72,11 @@ class AlignMTL(nn.Module):
                                  c.gamma, batch.get("w"))
         aux["margin"] = loss
         if c.use_sinkhorn:
+            # "ot_pairs": optional per-interval subsample of the seed pairs
+            # (cfg.sinkhorn_pairs) — caps the S×S transport problem at scale
             l_ot = sinkhorn_align_loss(
-                emb, batch["pairs"], tau=c.sinkhorn_tau, n_iters=c.sinkhorn_iters
+                emb, batch.get("ot_pairs", batch["pairs"]),
+                tau=c.sinkhorn_tau, n_iters=c.sinkhorn_iters
             )
             aux["sinkhorn"] = l_ot
             loss = loss + c.sinkhorn_weight * l_ot

@@ -255,6 +255,7 @@ def train_oracle(
     sinkhorn_weight: float = 1.0,
     sinkhorn_tau: float = 0.05,
     sinkhorn_iters: int = 20,
+    sinkhorn_pairs: int = 0,  # >0: per-interval seed subsample for the OT term
     seed: int = 0,
     eval_every: int = 50,
     eval_csls_k: int = 0,
@@ -280,6 +281,12 @@ def train_oracle(
         if epoch % neg_every == 0:
             pairs_np = task.train_pairs
             w_t = None
+            ot_pairs_t = torch.from_numpy(task.train_pairs.astype(np.int64))
+            if use_sinkhorn and 0 < sinkhorn_pairs < len(task.train_pairs):
+                sel = rng.choice(len(task.train_pairs), sinkhorn_pairs,
+                                 replace=False)
+                ot_pairs_t = torch.from_numpy(
+                    task.train_pairs[sel].astype(np.int64))
             if boot_cap > 0 and epoch >= boot_start and epoch > 0:
                 with torch.no_grad():
                     bp, bw = propose_mutual_nn_pairs(model(adj), mask1, mask2,
@@ -302,10 +309,10 @@ def train_oracle(
         loss = margin_align_loss(emb, pairs, neg_l, neg_r, gamma, weights=w_t)
         if use_sinkhorn:
             # mirrors models/align.AlignMTL: OT NLL on the raw seed pairs
-            # (not the boot-augmented set), added with its joint weight
+            # (not the boot-augmented set; optionally a per-interval
+            # subsample), added with its joint weight
             loss = loss + sinkhorn_weight * torch_sinkhorn_align_loss(
-                emb, torch.from_numpy(task.train_pairs.astype(np.int64)),
-                tau=sinkhorn_tau, n_iters=sinkhorn_iters)
+                emb, ot_pairs_t, tau=sinkhorn_tau, n_iters=sinkhorn_iters)
         loss.backward()
         opt.step()
         if verbose and (epoch % eval_every == 0 or epoch == epochs - 1):

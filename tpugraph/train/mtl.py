@@ -122,6 +122,11 @@ def fit_mtl(cfg: TrainConfig, task: AlignTask | None = None, verbose: bool = Fal
         else:
             neg_l, neg_r = sample_uniform_negatives(ks[0], pairs_m, n1, n, cfg.k_neg)
         batch = {"pairs": pairs, "neg_l": neg_l, "neg_r": neg_r}
+        if cfg.use_sinkhorn and 0 < cfg.sinkhorn_pairs < pairs.shape[0]:
+            # static-shape per-interval subsample for the OT head
+            sub = jax.random.choice(ks[3], pairs.shape[0],
+                                    (cfg.sinkhorn_pairs,), replace=False)
+            batch["ot_pairs"] = jnp.take(pairs, sub, axis=0)
         if use_boot:
             batch["pairs_aug"], batch["w"] = pairs_m, w
         if cfg.use_rel_head:
