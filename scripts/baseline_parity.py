@@ -22,34 +22,7 @@ SCALES = {
     # the pinned baseline task: DBP15K-shaped at 5k entities/side
     "dbp5k": dict(n_ent=5000, n_rel=60, n_triples=15000, seed=42),
 }
-RECIPES = {
-    # v1: the original round-1 pinned recipe (BASELINE.md rows measured with it)
-    "v1": dict(dim=128, epochs=400, lr=2e-3, gamma=10.0, k_neg=50, neg_every=5),
-    # v2: round-1 tuned recipe (harder negative pressure) — +2.7 Hits@1 on the
-    # pinned task for BOTH systems (parity preserved)
-    "v2": dict(dim=128, epochs=600, lr=2e-3, gamma=15.0, k_neg=100, neg_every=2),
-    # v3 = v2 + bootstrapped pair augmentation (pair with --eval-csls 10):
-    # oracle 0.2994 / tpugraph 0.2966 Hits@1 on the pinned task (2026-08-18)
-    "v3": dict(dim=128, epochs=600, lr=2e-3, gamma=15.0, k_neg=100, neg_every=2,
-               boot_cap=2500, boot_start=200, boot_weight=0.5, boot_csls_k=10),
-    # v4 = v3 with RAW-distance mutual-NN matching (boot_csls_k=0) — the
-    # boot_sweep winner (tpugraph 0.3046 vs v3's 0.2966); also the variant
-    # that scales (no O(C·S·log) hubness sort in the proposal)
-    "v4": dict(dim=128, epochs=600, lr=2e-3, gamma=15.0, k_neg=100, neg_every=2,
-               boot_cap=2500, boot_start=200, boot_weight=0.5, boot_csls_k=0),
-    # v5 = v4 + Sinkhorn OT alignment NLL on the seed pairs (ot_sweep.py
-    # rounds 1–6 winner: weight 3.0, tau 0.3 — tpugraph 0.598 Hits@1 on the
-    # pinned task vs v4's 0.305; the default tau 0.05 only reached 0.43)
-    "v5": dict(dim=128, epochs=600, lr=2e-3, gamma=15.0, k_neg=100, neg_every=2,
-               boot_cap=2500, boot_start=200, boot_weight=0.5, boot_csls_k=0,
-               use_sinkhorn=True, sinkhorn_weight=3.0, sinkhorn_tau=0.3),
-    # v6 = v5 at dim 256 (ot_sweep round 7-9: dim 256 pays under OT pressure
-    # — 0.6289 vs 0.5977 — where it hurt at v1 pressure; 384/512 collapse;
-    # the v5 OT constants re-verified optimal at dim 256)
-    "v6": dict(dim=256, epochs=600, lr=2e-3, gamma=15.0, k_neg=100, neg_every=2,
-               boot_cap=2500, boot_start=200, boot_weight=0.5, boot_csls_k=0,
-               use_sinkhorn=True, sinkhorn_weight=3.0, sinkhorn_tau=0.3),
-}
+from tpugraph.configs.recipes import RECIPES  # the tuned-recipe table (v1..v6)
 
 
 VARIANTS = {
@@ -66,8 +39,9 @@ def main():
     ap.add_argument("--variant", default="base", choices=sorted(VARIANTS))
     ap.add_argument("--recipe", default="v1", choices=sorted(RECIPES))
     ap.add_argument("--skip-oracle", action="store_true")
-    ap.add_argument("--eval-csls", type=int, default=0,
-                    help=">0: CSLS hubness-corrected eval ranking (both systems)")
+    ap.add_argument("--eval-csls", type=int, default=None,
+                    help=">0: CSLS hubness-corrected eval ranking (both "
+                         "systems); default: the recipe's own setting")
     ap.add_argument("--neg-csls", type=int, default=0,
                     help=">0: CSLS hubness-corrected hard mining (both systems)")
     # boot-* default to None so the recipe's own values survive (passing a
@@ -85,10 +59,14 @@ def main():
         boot_weight=args.boot_weight, boot_csls_k=args.boot_csls,
     ).items() if v is not None}
     HP = dict(RECIPES[args.recipe], neg_csls_k=args.neg_csls, **overrides)
+    HP.setdefault("neg_mode", "hard")
     HP.setdefault("boot_cap", 0)
     HP.setdefault("boot_start", 200)
     HP.setdefault("boot_weight", 0.5)
     HP.setdefault("boot_csls_k", 0)
+    if args.eval_csls is not None:
+        HP["eval_csls_k"] = args.eval_csls
+    HP.setdefault("eval_csls_k", 0)
 
     from tpugraph.data.synthetic import synthetic_align_task
 
@@ -98,8 +76,7 @@ def main():
     if not args.skip_oracle:
         from tpugraph.parity.torch_ref import train_oracle
 
-        _, m = train_oracle(task, neg_mode="hard", eval_csls_k=args.eval_csls,
-                            **HP, **var)
+        _, m = train_oracle(task, **HP, **var)
         results["torch_oracle"] = m
         print(json.dumps({"system": "torch_oracle_cpu", "scale": args.scale,
                           "variant": args.variant,
@@ -107,8 +84,7 @@ def main():
 
     from tpugraph.configs import get_config
 
-    cfg = get_config("base", neg_mode="hard", eval_every=100,
-                     eval_csls_k=args.eval_csls, **HP, **var)
+    cfg = get_config("base", eval_every=100, **HP, **var)
     if cfg.use_sinkhorn:  # OT head runs through the MTL trainer (driver.py)
         from tpugraph.train.mtl import fit_mtl as fit
     else:

@@ -30,12 +30,10 @@ def main():
     ap.add_argument("--eval-every", type=int, default=20)
     ap.add_argument("--fast", action="store_true",
                     help="fused intervals + approx MXU mining")
-    ap.add_argument("--recipe", default="v1", choices=["v1", "v3", "v4", "v5"],
-                    help="v3 = tuned recipe (hard-neg pressure + bootstrapped "
-                         "pairs + CSLS eval; target should be ~0.29); v4 = v3 "
-                         "with raw-distance mutual-NN matching (boot_csls_k=0); "
-                         "v5 = v4 + Sinkhorn OT loss (w=3, tau=0.3; target "
-                         "should be ~0.58)")
+    ap.add_argument("--recipe", default="v1",
+                    help="tuned recipe from tpugraph/configs/recipes.py "
+                         "(v1..v6; pinned-task targets: v3/v4 ~0.29, v5 ~0.58, "
+                         "v6 ~0.61)")
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="activation compute dtype (params/accum stay fp32)")
@@ -48,26 +46,18 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
-    from tpugraph.configs import get_config
+    from tpugraph.configs import RECIPES, get_config
     from tpugraph.data.synthetic import synthetic_align_task
 
     task = synthetic_align_task(seed=42, n_ent=args.n_ent, n_rel=60,
                                 n_triples=args.n_triples, drop_frac=0.1, noise_frac=0.1)
-    if args.recipe in ("v3", "v4", "v5"):
-        kw = dict(dim=128, epochs=args.max_epochs, eval_every=args.eval_every,
-                  lr=2e-3, gamma=15.0, k_neg=100, neg_every=2, neg_mode="hard",
-                  eval_csls_k=10, boot_cap=2500, boot_start=200, boot_weight=0.5,
-                  boot_csls_k=10 if args.recipe == "v3" else 0)
-        if args.recipe == "v5":
-            kw.update(use_sinkhorn=True, sinkhorn_weight=3.0, sinkhorn_tau=0.3,
-                      sinkhorn_pairs=args.ot_pairs)
-        if args.fast:
-            kw.update(steps_per_call=2, neg_metric="sqeuclidean", neg_approx=True)
-    else:
-        kw = dict(dim=128, epochs=args.max_epochs, eval_every=args.eval_every,
-                  lr=2e-3, gamma=10.0, k_neg=50, neg_every=5, neg_mode="hard")
-        if args.fast:
-            kw.update(steps_per_call=5, neg_metric="sqeuclidean", neg_approx=True)
+    kw = dict(RECIPES[args.recipe], epochs=args.max_epochs,
+              eval_every=args.eval_every)
+    if kw.get("use_sinkhorn"):
+        kw["sinkhorn_pairs"] = args.ot_pairs
+    if args.fast:
+        kw.update(steps_per_call=kw["neg_every"], neg_metric="sqeuclidean",
+                  neg_approx=True)
     cfg = get_config("base", param_dtype=args.dtype, **kw)
     if cfg.use_sinkhorn:  # OT head runs through the MTL trainer (driver.py)
         from tpugraph.train.mtl import fit_mtl as fit

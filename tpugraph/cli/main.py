@@ -15,7 +15,7 @@ import dataclasses
 import json
 import sys
 
-from tpugraph.configs import CONFIGS, get_config
+from tpugraph.configs import CONFIGS, RECIPES, get_config
 
 
 def _coerce(field_type, raw: str):
@@ -49,6 +49,9 @@ def parse_overrides(cfg, pairs: list[str]) -> dict:
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="tpugraph", description=__doc__)
     ap.add_argument("--config", default="base", choices=sorted(CONFIGS))
+    ap.add_argument("--recipe", default=None, choices=sorted(RECIPES),
+                    help="tuned training recipe (configs/recipes.py; applied "
+                         "before --set overrides)")
     ap.add_argument("--dataset", default=None, choices=["synthetic", "dbp15k"])
     ap.add_argument("--data-root", default=None)
     ap.add_argument("--pair", default=None)
@@ -70,6 +73,8 @@ def main(argv=None):
         jax.config.update("jax_debug_nans", True)
 
     cfg = get_config(args.config)
+    if args.recipe:
+        cfg = cfg.replace(**RECIPES[args.recipe])
     overrides = parse_overrides(cfg, [p for grp in args.set for p in grp])
     for k, flag in (("dataset", args.dataset), ("data_root", args.data_root),
                     ("pair", args.pair), ("epochs", args.epochs),
