@@ -85,7 +85,8 @@ def main():
     from tpugraph.configs import get_config
 
     cfg = get_config("base", eval_every=100, **HP, **var)
-    if cfg.use_sinkhorn:  # OT head runs through the MTL trainer (driver.py)
+    if (cfg.use_sinkhorn or cfg.use_rel_head or cfg.use_attr_head
+            or cfg.use_attr_channel):  # heads run through the MTL trainer (driver.py)
         from tpugraph.train.mtl import fit_mtl as fit
     else:
         from tpugraph.train.loop import fit

@@ -50,6 +50,17 @@ VARIANTS = {
     "iters40": dict(sinkhorn_iters=40),
     "boot4k": dict(boot_cap=4000),
     "bw1": dict(boot_weight=1.0),
+    # --- round 2: attrhead (+21 Hits@1 in round 1) interactions ---
+    "ah_w0125": dict(use_attr_head=True, attr_weight=0.125),
+    "ah_w05": dict(use_attr_head=True, attr_weight=0.5),
+    "ah_w10": dict(use_attr_head=True, attr_weight=1.0),
+    "ah_rel": dict(use_attr_head=True, use_rel_head=True, rel_weight=0.5),
+    "ah_ae80": dict(use_attr_head=True, use_attr_channel=True, attr_beta=0.8),
+    "ah_noot": dict(use_attr_head=True, sinkhorn_weight=0.0),
+    "ah_noboot": dict(use_attr_head=True, boot_cap=0),
+    "ah_tau40": dict(use_attr_head=True, sinkhorn_tau=0.4),
+    "ah_w4ot": dict(use_attr_head=True, sinkhorn_weight=4.0),
+    "ah_dim384": dict(use_attr_head=True, dim=384),
 }
 
 

@@ -256,6 +256,11 @@ def train_oracle(
     sinkhorn_tau: float = 0.05,
     sinkhorn_iters: int = 20,
     sinkhorn_pairs: int = 0,  # >0: per-interval seed subsample for the OT term
+    use_rel_head: bool = False,  # DistMult relation head (mirrors AlignMTL)
+    rel_weight: float = 0.25,
+    rel_k_neg: int = 10,
+    use_attr_head: bool = False,  # categorical attribute head (mirrors AlignMTL)
+    attr_weight: float = 0.25,
     seed: int = 0,
     eval_every: int = 50,
     eval_csls_k: int = 0,
@@ -267,7 +272,24 @@ def train_oracle(
     adj = build_torch_adj(task.n_ent, task.merged_triples, n_rel=task.n_rel,
                           weighting=weighting, norm=norm)
     model = TorchGCN(task.n_ent, dim, highway=highway)
-    opt = torch.optim.Adam(model.parameters(), lr=lr)
+    # auxiliary heads (config[3]) join the shared embeddings and optimizer,
+    # mirroring models/align.AlignMTL: per-interval corruptions/batches,
+    # joint loss = margin + rel_weight·rel + attr_weight·attr
+    rel_head = TorchRelationHead(task.n_rel, dim) if use_rel_head else None
+    attr_all = task.merged_attr_triples if use_attr_head else None
+    if use_attr_head and (attr_all is None or task.n_attr == 0):
+        raise ValueError("attribute head enabled but the task has no attribute triples")
+    attr_head = TorchAttributeHead(dim, task.n_attr) if use_attr_head else None
+    params = list(model.parameters())
+    if rel_head is not None:
+        params += list(rel_head.parameters())
+    if attr_head is not None:
+        params += list(attr_head.parameters())
+    opt = torch.optim.Adam(params, lr=lr)
+    rel_triples_t = (torch.from_numpy(task.merged_triples.astype(np.int64))
+                     if use_rel_head else None)
+    attr_bs = min(8192, len(attr_all)) if use_attr_head else 0
+    rel_neg_t = rel_neg_h = attr_batch_t = None
     n1 = task.kg1.n_ent
     mask1 = np.ones(n1, bool)
     mask1[task.train_pairs[:, 0]] = False
@@ -304,6 +326,15 @@ def train_oracle(
                 nl, nr = sample_negatives(rng, pairs_np, task.kg1.n_ent, task.n_ent, k_neg)
             neg_l, neg_r = torch.from_numpy(nl), torch.from_numpy(nr)
             pairs = torch.from_numpy(pairs_np.astype(np.int64))
+            if use_rel_head:  # fresh tail/head corruptions per interval
+                t = len(task.merged_triples)
+                rel_neg_t = torch.from_numpy(
+                    rng.integers(0, task.n_ent, (t, rel_k_neg)))
+                rel_neg_h = torch.from_numpy(
+                    rng.integers(0, task.n_ent, (t, rel_k_neg)))
+            if use_attr_head:  # fresh attribute-triple batch per interval
+                idx = rng.integers(0, len(attr_all), attr_bs)
+                attr_batch_t = torch.from_numpy(attr_all[idx].astype(np.int64))
         opt.zero_grad()
         emb = model(adj)
         loss = margin_align_loss(emb, pairs, neg_l, neg_r, gamma, weights=w_t)
@@ -313,6 +344,10 @@ def train_oracle(
             # subsample), added with its joint weight
             loss = loss + sinkhorn_weight * torch_sinkhorn_align_loss(
                 emb, ot_pairs_t, tau=sinkhorn_tau, n_iters=sinkhorn_iters)
+        if use_rel_head:
+            loss = loss + rel_weight * rel_head(emb, rel_triples_t, rel_neg_t, rel_neg_h)
+        if use_attr_head:
+            loss = loss + attr_weight * attr_head(emb, attr_batch_t)
         loss.backward()
         opt.step()
         if verbose and (epoch % eval_every == 0 or epoch == epochs - 1):
