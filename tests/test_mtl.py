@@ -108,3 +108,54 @@ def test_mtl_bootstrap_trains_and_fuses():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
     assert np.isfinite(r1.metrics["final_loss"])
+
+
+def test_head_losses_match_torch_oracle():
+    """RelationHead/AttributeHead loss values ≡ the oracle mirrors under
+    injected identical weights and batches (the config[3] parity claim)."""
+    import jax.numpy as jnp
+    import torch
+
+    from tpugraph.models.heads import AttributeHead, RelationHead
+    from tpugraph.parity import torch_ref
+
+    rng = np.random.default_rng(7)
+    n_ent, n_rel, n_attr, dim, t, k, b = 120, 9, 17, 16, 60, 4, 40
+    emb = rng.normal(size=(n_ent, dim)).astype(np.float32)
+    triples = np.stack([rng.integers(0, n_ent, t), rng.integers(0, n_rel, t),
+                        rng.integers(0, n_ent, t)], 1).astype(np.int32)
+    neg_t = rng.integers(0, n_ent, (t, k)).astype(np.int32)
+    neg_h = rng.integers(0, n_ent, (t, k)).astype(np.int32)
+    attr_triples = np.stack([rng.integers(0, n_ent, b),
+                             rng.integers(0, n_attr, b)], 1).astype(np.int32)
+
+    # relation head: inject the jax-initialized rel table into the mirror
+    rh = RelationHead(n_rel=n_rel, dim=dim)
+    import jax
+
+    rp = rh.init(jax.random.PRNGKey(0), jnp.asarray(emb), jnp.asarray(triples),
+                 jnp.asarray(neg_t), jnp.asarray(neg_h))["params"]
+    l_rel_j = float(rh.apply({"params": rp}, jnp.asarray(emb), jnp.asarray(triples),
+                             jnp.asarray(neg_t), jnp.asarray(neg_h)))
+    trh = torch_ref.TorchRelationHead(n_rel, dim)
+    with torch.no_grad():
+        trh.rel.copy_(torch.from_numpy(np.asarray(rp["rel"])))
+        l_rel_t = trh(torch.from_numpy(emb),
+                      torch.from_numpy(triples.astype(np.int64)),
+                      torch.from_numpy(neg_t.astype(np.int64)),
+                      torch.from_numpy(neg_h.astype(np.int64))).item()
+    np.testing.assert_allclose(l_rel_j, l_rel_t, rtol=1e-5)
+
+    # attribute head: inject the Dense kernel/bias into the Linear mirror
+    ah = AttributeHead(n_attr=n_attr)
+    ap = ah.init(jax.random.PRNGKey(1), jnp.asarray(emb),
+                 jnp.asarray(attr_triples))["params"]
+    l_attr_j = float(ah.apply({"params": ap}, jnp.asarray(emb),
+                              jnp.asarray(attr_triples)))
+    tah = torch_ref.TorchAttributeHead(dim, n_attr)
+    with torch.no_grad():
+        tah.lin.weight.copy_(torch.from_numpy(np.asarray(ap["Dense_0"]["kernel"]).T))
+        tah.lin.bias.copy_(torch.from_numpy(np.asarray(ap["Dense_0"]["bias"])))
+        l_attr_t = tah(torch.from_numpy(emb),
+                       torch.from_numpy(attr_triples.astype(np.int64))).item()
+    np.testing.assert_allclose(l_attr_j, l_attr_t, rtol=1e-5)
