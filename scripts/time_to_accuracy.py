@@ -26,14 +26,15 @@ def main():
                     help="Hits@1 to reach (default: oracle 0.2317 - 1pt)")
     ap.add_argument("--n-ent", type=int, default=5000)
     ap.add_argument("--n-triples", type=int, default=15000)
-    ap.add_argument("--max-epochs", type=int, default=600)
+    ap.add_argument("--max-epochs", type=int, default=None,
+                    help="cap on training epochs (default: the recipe's own)")
     ap.add_argument("--eval-every", type=int, default=20)
     ap.add_argument("--fast", action="store_true",
                     help="fused intervals + approx MXU mining")
     ap.add_argument("--recipe", default="v1",
                     help="tuned recipe from tpugraph/configs/recipes.py "
-                         "(v1..v6; pinned-task targets: v3/v4 ~0.29, v5 ~0.58, "
-                         "v6 ~0.61)")
+                         "(v1..v7; pinned-task targets: v3/v4 ~0.29, v5 ~0.58, "
+                         "v6 ~0.61, v7 ~0.91)")
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="activation compute dtype (params/accum stay fp32)")
@@ -51,15 +52,17 @@ def main():
 
     task = synthetic_align_task(seed=42, n_ent=args.n_ent, n_rel=60,
                                 n_triples=args.n_triples, drop_frac=0.1, noise_frac=0.1)
-    kw = dict(RECIPES[args.recipe], epochs=args.max_epochs,
-              eval_every=args.eval_every)
+    kw = dict(RECIPES[args.recipe], eval_every=args.eval_every)
+    if args.max_epochs is not None:
+        kw["epochs"] = args.max_epochs
     if kw.get("use_sinkhorn"):
         kw["sinkhorn_pairs"] = args.ot_pairs
     if args.fast:
         kw.update(steps_per_call=kw["neg_every"], neg_metric="sqeuclidean",
                   neg_approx=True)
     cfg = get_config("base", param_dtype=args.dtype, **kw)
-    if cfg.use_sinkhorn:  # OT head runs through the MTL trainer (driver.py)
+    if (cfg.use_sinkhorn or cfg.use_rel_head or cfg.use_attr_head
+            or cfg.use_attr_channel):  # heads run through the MTL trainer
         from tpugraph.train.mtl import fit_mtl as fit
     else:
         from tpugraph.train.loop import fit

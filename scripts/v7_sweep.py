@@ -61,6 +61,19 @@ VARIANTS = {
     "ah_tau40": dict(use_attr_head=True, sinkhorn_tau=0.4),
     "ah_w4ot": dict(use_attr_head=True, sinkhorn_weight=4.0),
     "ah_dim384": dict(use_attr_head=True, dim=384),
+    # --- round 3: attr_weight monotone to 1.0 — go higher; interactions at w10 ---
+    "ah_w20": dict(use_attr_head=True, attr_weight=2.0),
+    "ah_w40": dict(use_attr_head=True, attr_weight=4.0),
+    "ah_w10_rel": dict(use_attr_head=True, attr_weight=1.0, use_rel_head=True,
+                       rel_weight=0.5),
+    "ah_w10_noboot": dict(use_attr_head=True, attr_weight=1.0, boot_cap=0),
+    "ah_w10_long": dict(use_attr_head=True, attr_weight=1.0, epochs=900),
+    "ah_w10_ae80": dict(use_attr_head=True, attr_weight=1.0,
+                        use_attr_channel=True, attr_beta=0.8),
+    # --- round 4: weight flattening at 4 (0.9037); probe 8 + longer training ---
+    "ah_w80": dict(use_attr_head=True, attr_weight=8.0),
+    "ah_w40_long": dict(use_attr_head=True, attr_weight=4.0, epochs=900),
+    "ah_w80_long": dict(use_attr_head=True, attr_weight=8.0, epochs=900),
 }
 
 

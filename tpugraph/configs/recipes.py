@@ -10,6 +10,7 @@ via scripts/baseline_parity.py — measured rows in BASELINE.md):
     v4  v3 with raw-distance mutual-NN matching (boot_csls_k=0)       +0.8
     v5  v4 + Sinkhorn OT alignment NLL (w=3.0, τ=0.3, seed pairs)     +29
     v6  v5 at dim 256 (dim pays under OT pressure; 384/512 collapse)  +3.1
+    v7  v6 + attribute-prediction MTL head (w=4.0) + 900 epochs       +28
 
 Pair v3+ with eval_csls_k=10 (the CSLS ranking convention reported by the
 HGCN/RDGCN line).  Recipes with use_sinkhorn route through the MTL trainer
@@ -37,4 +38,9 @@ RECIPES: dict[str, dict] = {
                neg_mode="hard", eval_csls_k=10,
                boot_cap=2500, boot_start=200, boot_weight=0.5, boot_csls_k=0,
                use_sinkhorn=True, sinkhorn_weight=3.0, sinkhorn_tau=0.3),
+    "v7": dict(dim=256, epochs=900, lr=2e-3, gamma=15.0, k_neg=100, neg_every=2,
+               neg_mode="hard", eval_csls_k=10,
+               boot_cap=2500, boot_start=200, boot_weight=0.5, boot_csls_k=0,
+               use_sinkhorn=True, sinkhorn_weight=3.0, sinkhorn_tau=0.3,
+               use_attr_head=True, attr_weight=4.0),
 }
