@@ -74,6 +74,15 @@ VARIANTS = {
     "ah_w80": dict(use_attr_head=True, attr_weight=8.0),
     "ah_w40_long": dict(use_attr_head=True, attr_weight=4.0, epochs=900),
     "ah_w80_long": dict(use_attr_head=True, attr_weight=8.0, epochs=900),
+    # --- round 5: lr schedule at the v7 point (new train/optim.py knobs) ---
+    "v7_cos": dict(use_attr_head=True, attr_weight=4.0, epochs=900,
+                   lr_schedule="cosine"),
+    "v7_cos_wu": dict(use_attr_head=True, attr_weight=4.0, epochs=900,
+                      lr_schedule="cosine", lr_warmup=50),
+    "v7_cos_f01": dict(use_attr_head=True, attr_weight=4.0, epochs=900,
+                       lr_schedule="cosine", lr_final_frac=0.1),
+    "v7_cos_lr4": dict(use_attr_head=True, attr_weight=4.0, epochs=900,
+                       lr_schedule="cosine", lr=4e-3, lr_warmup=50),
 }
 
 

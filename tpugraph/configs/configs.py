@@ -80,6 +80,9 @@ class TrainConfig:
     # neg_every) into ONE jitted dispatch — resampling + neg_every train steps
     # as a lax.scan (amortizes per-dispatch latency; plain fit() path only)
     lr: float = 2e-3
+    lr_schedule: str = "const"  # 'const' | 'cosine' (train/optim.py semantics)
+    lr_warmup: int = 0  # linear warmup, in optimizer updates (== epochs)
+    lr_final_frac: float = 0.0  # cosine floor as a fraction of lr
     seed: int = 0
     eval_every: int = 100
 

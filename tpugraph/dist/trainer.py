@@ -229,7 +229,9 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
     encode = make_encoder(mesh, halo, cfg.highway,
                           impl="ell" if cfg.spmm_impl == "ell" else "sorted",
                           attr_channel=use_ae, compute_dtype=cfg.param_dtype)
-    tx = optax.adam(cfg.lr)
+    from tpugraph.train.optim import make_tx
+
+    tx = make_tx(cfg)
     opt_state = jax.device_put(tx.init(params), repl)
 
     pairs = jax.device_put(jnp.asarray(task.train_pairs), repl)

@@ -261,6 +261,9 @@ def train_oracle(
     rel_k_neg: int = 10,
     use_attr_head: bool = False,  # categorical attribute head (mirrors AlignMTL)
     attr_weight: float = 0.25,
+    lr_schedule: str = "const",  # 'const' | 'cosine' (train/optim.py semantics)
+    lr_warmup: int = 0,
+    lr_final_frac: float = 0.0,
     seed: int = 0,
     eval_every: int = 50,
     eval_csls_k: int = 0,
@@ -286,6 +289,12 @@ def train_oracle(
     if attr_head is not None:
         params += list(attr_head.parameters())
     opt = torch.optim.Adam(params, lr=lr)
+    # LambdaLR(factor(epoch)) stepped after each opt.step() sees the same lr
+    # sequence as optax's schedule(count) — tests/test_optim.py pins this
+    from tpugraph.train.optim import lr_factor
+
+    lr_sched = torch.optim.lr_scheduler.LambdaLR(
+        opt, lambda t: lr_factor(t, epochs, lr_schedule, lr_warmup, lr_final_frac))
     rel_triples_t = (torch.from_numpy(task.merged_triples.astype(np.int64))
                      if use_rel_head else None)
     attr_bs = min(8192, len(attr_all)) if use_attr_head else 0
@@ -350,6 +359,7 @@ def train_oracle(
             loss = loss + attr_weight * attr_head(emb, attr_batch_t)
         loss.backward()
         opt.step()
+        lr_sched.step()
         if verbose and (epoch % eval_every == 0 or epoch == epochs - 1):
             h = get_hits(model(adj), task.test_pairs)
             print(f"[oracle] epoch {epoch} loss {loss.item():.4f} "

@@ -93,7 +93,9 @@ def fit(
     base_key = jax.random.PRNGKey(cfg.seed)
     params = model.init(jax.random.fold_in(base_key, 2**30), op)["params"]
 
-    tx = optax.adam(cfg.lr)
+    from tpugraph.train.optim import make_tx
+
+    tx = make_tx(cfg)
     opt_state = tx.init(params)
 
     pairs = jnp.asarray(task.train_pairs)

@@ -140,7 +140,9 @@ def fit_mtl(cfg: TrainConfig, task: AlignTask | None = None, verbose: bool = Fal
     params = model.init(jax.random.fold_in(base_key, 2**30), op,
                         make_batch(jax.random.fold_in(base_key, 2**31 - 1)),
                         attr_op=attr_op)["params"]
-    tx = optax.adam(cfg.lr)
+    from tpugraph.train.optim import make_tx
+
+    tx = make_tx(cfg)
     opt_state = tx.init(params)
 
     @jax.jit
