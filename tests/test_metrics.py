@@ -1,0 +1,43 @@
+"""Metrics sinks: JSONL provenance + records; optional TensorBoard events."""
+
+import json
+import os
+
+from tpugraph.train.metrics import MetricsLogger
+
+
+def test_jsonl_sink_writes_config_then_records(tmp_path):
+    p = tmp_path / "m.jsonl"
+    log = MetricsLogger(str(p), config={"dim": 8})
+    log.log({"epoch": 0, "loss": 1.5})
+    log.log({"epoch": 1, "loss": 1.0, "note": "text ignored by tb"})
+    log.close()
+    lines = [json.loads(l) for l in p.read_text().splitlines()]
+    assert lines[0]["_config"] == {"dim": 8}
+    assert lines[1]["loss"] == 1.5 and lines[2]["epoch"] == 1
+
+
+def test_tensorboard_sink_writes_event_file(tmp_path):
+    tb = tmp_path / "tb"
+    log = MetricsLogger(None, config={"dim": 8}, tb_dir=str(tb))
+    log.log({"epoch": 0, "loss": 1.5, "hits@1": 0.1})
+    log.log({"epoch": 5, "loss": 0.5, "hits@1": 0.4})
+    log.close()
+    events = [f for f in os.listdir(tb) if "tfevents" in f]
+    assert events, "no TensorBoard event file written"
+    # the event file holds both scalar tags at their epoch steps
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator,
+    )
+
+    acc = EventAccumulator(str(tb))
+    acc.Reload()
+    tags = set(acc.Tags()["scalars"])
+    assert {"loss", "hits@1"} <= tags
+    assert [s.step for s in acc.Scalars("loss")] == [0, 5]
+
+
+def test_metrics_disabled_is_noop():
+    log = MetricsLogger(None)
+    log.log({"epoch": 0, "loss": 1.0})  # must not raise
+    log.close()

@@ -59,3 +59,32 @@ def test_topk_alignments_csls_matches_eval_ranking():
     vals, ids = topk_alignments(jnp.asarray(emb), q_ids, c_ids, k=3,
                                 block_c=16, csls_k=5)
     np.testing.assert_array_equal(ids[:, 0], want_top1)
+
+
+def test_serve_cli_main(tmp_path):
+    """`python -m tpugraph.serve` surface: n-left split + id-file paths."""
+    import jax.numpy as jnp
+
+    from tpugraph.serve import main, save_embeddings
+
+    rng = np.random.default_rng(2)
+    emb = jnp.asarray(rng.standard_normal((30, 4)).astype(np.float32))
+    save_embeddings(str(tmp_path / "emb"), emb)
+
+    out = tmp_path / "al.tsv"
+    assert main(["--emb", str(tmp_path / "emb"), "--out", str(out),
+                 "--n-left", "12", "--k", "3"]) == 0
+    lines = out.read_text().strip().splitlines()
+    assert len(lines) == 12 and len(lines[0].split("\t")) == 4
+    # every candidate id comes from the right-hand split
+    for ln in lines:
+        for cell in ln.split("\t")[1:]:
+            assert int(cell.split(":")[0]) >= 12
+
+    qf, cf = tmp_path / "q.txt", tmp_path / "c.txt"
+    qf.write_text("\n".join(str(i) for i in range(5)))
+    cf.write_text("\n".join(str(i) for i in range(20, 30)))
+    assert main(["--emb", str(tmp_path / "emb"), "--out", str(out),
+                 "--queries", str(qf), "--candidates", str(cf),
+                 "--k", "2", "--csls-k", "3"]) == 0
+    assert len(out.read_text().strip().splitlines()) == 5

@@ -63,6 +63,11 @@ def main(argv=None):
     # but the last)
     ap.add_argument("--set", nargs="*", action="append", default=[],
                     help="key=value config overrides")
+    ap.add_argument("--fast", action="store_true",
+                    help="fuse each resample interval into one jitted dispatch "
+                         "(steps_per_call=neg_every) + approx MXU hard mining "
+                         "— amortizes the remote-TPU per-dispatch latency; "
+                         "semantically equal to the unfused path (tests pin it)")
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("--debug-nans", action="store_true",
                     help="dev flag: raise on the first NaN anywhere (jax_debug_nans)")
@@ -81,6 +86,11 @@ def main(argv=None):
                     ("metrics_path", args.metrics), ("profile_dir", args.profile_dir)):
         if flag is not None:
             overrides[k] = flag
+    if args.fast:
+        overrides.setdefault("steps_per_call",
+                             overrides.get("neg_every", cfg.neg_every))
+        overrides.setdefault("neg_metric", "sqeuclidean")
+        overrides.setdefault("neg_approx", True)
     cfg = cfg.replace(**overrides)
 
     # This environment's sitecustomize pre-imports jax with a pinned platform;
@@ -93,6 +103,15 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", plat.split(",")[0])
+
+    # Persistent compile cache: remote-TPU compiles cost minutes; cached
+    # reruns cost seconds.  TPUGRAPH_COMPILE_CACHE overrides, "" disables.
+    cache = os.environ.get(
+        "TPUGRAPH_COMPILE_CACHE", os.path.expanduser("~/.cache/tpugraph-jax"))
+    if cache:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache)
 
     from tpugraph.train.driver import run  # deferred: jax import is slow
 

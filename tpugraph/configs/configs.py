@@ -94,6 +94,7 @@ class TrainConfig:
 
     # --- observability ---
     metrics_path: str | None = None  # JSONL sink
+    tb_dir: str | None = None  # optional TensorBoard event-file sink
     profile_dir: str | None = None
     checkpoint_dir: str | None = None
     checkpoint_every: int = 0  # steps; 0 = disabled

@@ -497,7 +497,7 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
         )
         return params, opt_state, losses[-1], jax.tree_util.tree_map(lambda a: a[-1], auxs)
 
-    logger = MetricsLogger(cfg.metrics_path, config=cfg.to_dict())
+    logger = MetricsLogger(cfg.metrics_path, config=cfg.to_dict(), tb_dir=cfg.tb_dir)
     history = []
     batch = None
     loss = jnp.nan  # guards relaunch-of-completed-run (loop body may not run)

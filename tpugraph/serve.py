@@ -78,9 +78,10 @@ def topk_alignments(
     return vals, np.asarray(candidate_ids)[idx]
 
 
-def export_alignments(path: str, emb, query_ids, candidate_ids, k: int = 10) -> int:
+def export_alignments(path: str, emb, query_ids, candidate_ids, k: int = 10,
+                      csls_k: int = 0) -> int:
     """Write '<query>\\t<cand1>:<d1>\\t...' per line; returns #rows written."""
-    vals, ids = topk_alignments(emb, query_ids, candidate_ids, k=k)
+    vals, ids = topk_alignments(emb, query_ids, candidate_ids, k=k, csls_k=csls_k)
     with open(path, "w") as f:
         for qi, (row_ids, row_d) in zip(query_ids, zip(ids, vals)):
             cells = "\t".join(f"{int(c)}:{float(d):.6f}" for c, d in zip(row_ids, row_d))
@@ -105,3 +106,53 @@ def load_embeddings(path: str):
 
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(os.path.abspath(path))["emb"]
+
+
+def main(argv=None) -> int:
+    """Bulk-alignment CLI: ``python -m tpugraph.serve --emb <ckpt> --out f.tsv``.
+
+    Query/candidate sets come from id files (one int per line) or from an
+    ``--n-left`` split of the merged table (ids < n_left query the rest)."""
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="python -m tpugraph.serve",
+        description="Export top-k entity alignments from a trained embedding table.")
+    ap.add_argument("--emb", required=True,
+                    help="embedding checkpoint dir (serve.save_embeddings)")
+    ap.add_argument("--out", required=True, help="output TSV path")
+    ap.add_argument("--queries", default=None,
+                    help="file of query entity ids, one per line")
+    ap.add_argument("--candidates", default=None,
+                    help="file of candidate entity ids, one per line")
+    ap.add_argument("--n-left", type=int, default=None,
+                    help="merged-id split: ids [0,n) query ids [n,N) "
+                         "(default when no id files are given)")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--csls-k", type=int, default=0,
+                    help=">0: CSLS hubness-corrected re-scoring")
+    args = ap.parse_args(argv)
+
+    emb = load_embeddings(args.emb)
+    n = emb.shape[0]
+    if args.queries:
+        query_ids = np.loadtxt(args.queries, dtype=np.int64).reshape(-1)
+    elif args.n_left is not None:
+        query_ids = np.arange(args.n_left)
+    else:
+        ap.error("need --queries or --n-left")
+    if args.candidates:
+        candidate_ids = np.loadtxt(args.candidates, dtype=np.int64).reshape(-1)
+    elif args.n_left is not None:
+        candidate_ids = np.arange(args.n_left, n)
+    else:
+        ap.error("need --candidates or --n-left")
+
+    rows = export_alignments(args.out, emb, query_ids, candidate_ids,
+                             k=args.k, csls_k=args.csls_k)
+    print(f"wrote {rows} rows x top-{args.k} to {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

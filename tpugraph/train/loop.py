@@ -247,7 +247,7 @@ def fit(
             restored_boot = (state["boot_pairs"], state["boot_w"])
         restored_loss = state["loss"]
 
-    logger = MetricsLogger(cfg.metrics_path, config=cfg.to_dict())
+    logger = MetricsLogger(cfg.metrics_path, config=cfg.to_dict(), tb_dir=cfg.tb_dir)
     history = []
     neg_l, neg_r = restored_negs if restored_negs is not None else (None, None)
     if use_boot:

@@ -205,7 +205,7 @@ def fit_mtl(cfg: TrainConfig, task: AlignTask | None = None, verbose: bool = Fal
         start_epoch += 1
         params, opt_state, batch = state["params"], state["opt_state"], state["batch"]
 
-    logger = MetricsLogger(cfg.metrics_path, config=cfg.to_dict())
+    logger = MetricsLogger(cfg.metrics_path, config=cfg.to_dict(), tb_dir=cfg.tb_dir)
     history = []
     loss = jnp.nan
     t_start = time.perf_counter()
