@@ -88,3 +88,42 @@ def test_serve_cli_main(tmp_path):
                  "--queries", str(qf), "--candidates", str(cf),
                  "--k", "2", "--csls-k", "3"]) == 0
     assert len(out.read_text().strip().splitlines()) == 5
+
+
+def test_train_to_serve_pipeline(tmp_path):
+    """cfg.save_emb_path: fit writes the table; serve CLI consumes it."""
+    from tpugraph.configs import get_config
+    from tpugraph.data.synthetic import synthetic_align_task
+    from tpugraph.serve import load_embeddings, main
+    from tpugraph.train.loop import fit
+
+    task = synthetic_align_task(seed=0, n_ent=150, n_rel=6, n_triples=500,
+                                drop_frac=0.0, noise_frac=0.0)
+    cfg = get_config("base", dim=16, epochs=20, eval_every=0, k_neg=5,
+                     neg_every=5, pad_bucket=1024,
+                     save_emb_path=str(tmp_path / "emb"))
+    fit(cfg, task=task)
+    emb = load_embeddings(str(tmp_path / "emb"))
+    assert emb.shape == (task.n_ent, 16)
+
+    out = tmp_path / "al.tsv"
+    assert main(["--emb", str(tmp_path / "emb"), "--out", str(out),
+                 "--n-left", str(task.kg1.n_ent), "--k", "3"]) == 0
+    assert len(out.read_text().strip().splitlines()) == task.kg1.n_ent
+
+
+def test_distributed_save_emb(tmp_path):
+    """save_emb_path gathers the sharded table from the dist trainer."""
+    from tpugraph.configs import get_config
+    from tpugraph.data.synthetic import synthetic_align_task
+    from tpugraph.dist.trainer import fit_distributed
+    from tpugraph.serve import load_embeddings
+
+    task = synthetic_align_task(seed=0, n_ent=128, n_rel=6, n_triples=400,
+                                drop_frac=0.0, noise_frac=0.0)
+    cfg = get_config("base", dim=16, epochs=6, eval_every=0, k_neg=5,
+                     neg_every=3, pad_bucket=256, n_shards=4,
+                     save_emb_path=str(tmp_path / "emb"))
+    fit_distributed(cfg, task=task)
+    emb = load_embeddings(str(tmp_path / "emb"))
+    assert emb.shape == (task.n_ent, 16)

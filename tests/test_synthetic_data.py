@@ -130,3 +130,48 @@ def test_dbp15k_uri_attrs_drive_ae_channel(tmp_path):
     assert np.isfinite(res.metrics["final_loss"])
     task = load_dbp15k(str(tmp_path), "zh_en")
     assert task.n_attr > 0
+
+
+def test_openea_reader_roundtrip(tmp_path):
+    """Write a tiny OpenEA/BootEA-format (URI TSV) directory and read it back."""
+    from tpugraph.data.openea import load_openea
+
+    d = tmp_path / "d_w"
+    d.mkdir()
+    (d / "rel_triples_1").write_text("A\tr1\tB\nB\tr1\tC\n")
+    (d / "rel_triples_2").write_text("X\ts1\tY\nY\ts2\tZ\n")
+    (d / "ent_links").write_text("A\tX\nB\tY\nC\tZ\n")
+    (d / "attr_triples_1").write_text("A\tp_name\t\"foo\"\nB\tp_name\t\"bar\"\n")
+    (d / "attr_triples_2").write_text("X\tp_name\t\"foo\"\nZ\tp_other\t\"1\"\n")
+
+    task = load_openea(str(d), fold=None, train_ratio=0.34, seed=0)
+    assert task.kg1.n_ent == 3 and task.kg2.n_ent == 3 and task.n_ent == 6
+    assert task.kg1.n_rel == 1 and task.kg2.n_rel == 2
+    allp = np.concatenate([task.train_pairs, task.test_pairs])
+    assert sorted(map(tuple, allp)) == [(0, 3), (1, 4), (2, 5)]
+    # attr vocab is shared and frequency-sorted: p_name (3 uses) gets id 0
+    assert task.n_attr == 2
+    np.testing.assert_array_equal(task.kg1.attr_triples, [[0, 0], [1, 0]])
+    np.testing.assert_array_equal(task.kg2.attr_triples, [[0, 0], [2, 1]])
+
+
+def test_openea_reader_official_folds(tmp_path):
+    """721_5fold/<k>/ split: train = train+valid links, test = test_links."""
+    from tpugraph.data.openea import load_openea
+
+    d = tmp_path / "d_w"
+    f = d / "721_5fold" / "1"
+    f.mkdir(parents=True)
+    (d / "rel_triples_1").write_text("A\tr\tB\nC\tr\tA\nD\tr\tB\n")
+    (d / "rel_triples_2").write_text("X\ts\tY\nZ\ts\tX\nW\ts\tY\n")
+    (d / "ent_links").write_text("A\tX\nB\tY\nC\tZ\nD\tW\n")
+    (f / "train_links").write_text("A\tX\n")
+    (f / "valid_links").write_text("B\tY\n")
+    (f / "test_links").write_text("C\tZ\nD\tW\n")
+
+    task = load_openea(str(d), fold=1)
+    assert len(task.train_pairs) == 2 and len(task.test_pairs) == 2
+    n1 = task.kg1.n_ent
+    assert (task.test_pairs[:, 1] >= n1).all()
+    # isolated link-only entities would still get rows; here all appear in triples
+    assert task.kg1.n_ent == 4 and task.kg2.n_ent == 4

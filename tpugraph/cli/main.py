@@ -52,12 +52,16 @@ def main(argv=None):
     ap.add_argument("--recipe", default=None, choices=sorted(RECIPES),
                     help="tuned training recipe (configs/recipes.py; applied "
                          "before --set overrides)")
-    ap.add_argument("--dataset", default=None, choices=["synthetic", "dbp15k"])
+    ap.add_argument("--dataset", default=None,
+                    choices=["synthetic", "dbp15k", "openea"])
     ap.add_argument("--data-root", default=None)
     ap.add_argument("--pair", default=None)
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--metrics", default=None, help="JSONL metrics path")
     ap.add_argument("--profile-dir", default=None)
+    ap.add_argument("--save-emb", default=None,
+                    help="write the final embedding table here for "
+                         "python -m tpugraph.serve")
     # action="append" + nargs="*": both `--set a=1 b=2` and repeated
     # `--set a=1 --set b=2` work (repeated flags used to silently drop all
     # but the last)
@@ -83,7 +87,8 @@ def main(argv=None):
     overrides = parse_overrides(cfg, [p for grp in args.set for p in grp])
     for k, flag in (("dataset", args.dataset), ("data_root", args.data_root),
                     ("pair", args.pair), ("epochs", args.epochs),
-                    ("metrics_path", args.metrics), ("profile_dir", args.profile_dir)):
+                    ("metrics_path", args.metrics), ("profile_dir", args.profile_dir),
+                    ("save_emb_path", args.save_emb)):
         if flag is not None:
             overrides[k] = flag
     if args.fast:

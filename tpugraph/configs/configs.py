@@ -16,8 +16,8 @@ class TrainConfig:
     name: str = "default"
 
     # --- data ---
-    dataset: str = "synthetic"  # 'synthetic' | 'dbp15k'
-    data_root: str = "data"  # for dbp15k: directory holding <pair>/
+    dataset: str = "synthetic"  # 'synthetic' | 'dbp15k' | 'openea' (DWY100K)
+    data_root: str = "data"  # dbp15k: directory holding <pair>/; openea: the pair dir
     pair: str = "zh_en"
     train_ratio: float = 0.3
     # synthetic generator knobs (ignored for dbp15k)
@@ -98,6 +98,8 @@ class TrainConfig:
     profile_dir: str | None = None
     checkpoint_dir: str | None = None
     checkpoint_every: int = 0  # steps; 0 = disabled
+    save_emb_path: str | None = None  # write the final embedding table for
+    # the serving path (tpugraph.serve) after training
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

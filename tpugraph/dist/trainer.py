@@ -545,6 +545,11 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
         ckpt.restore_handler()
         final = dist_eval(params)
     final["final_loss"] = float(loss)
+    if cfg.save_emb_path:  # gather the sharded table and hand it to serving
+        from tpugraph.serve import save_embeddings
+
+        with mesh:
+            save_embeddings(cfg.save_emb_path, jax.device_get(embed(params)))
     ckpt.close()
     logger.close()
     return TrainResult(params=params, metrics=final, history=history, task=task)

@@ -52,6 +52,10 @@ def load_task(cfg: TrainConfig) -> AlignTask:
         )
     if cfg.dataset == "dbp15k":
         return load_dbp15k(cfg.data_root, cfg.pair, train_ratio=cfg.train_ratio, seed=cfg.seed)
+    if cfg.dataset == "openea":
+        from tpugraph.data.openea import load_openea
+
+        return load_openea(cfg.data_root, train_ratio=cfg.train_ratio, seed=cfg.seed)
     raise ValueError(f"unknown dataset {cfg.dataset!r}")
 
 
@@ -344,5 +348,9 @@ def fit(
     ckpt.close()  # flush async saves (the emergency one especially)
     final = hits_at_k(embed(params), jnp.asarray(task.test_pairs), csls_k=cfg.eval_csls_k)
     final["final_loss"] = float(loss)
+    if cfg.save_emb_path:  # hand the table to the serving path (tpugraph.serve)
+        from tpugraph.serve import save_embeddings
+
+        save_embeddings(cfg.save_emb_path, embed(params))
     logger.close()
     return TrainResult(params=params, metrics=final, history=history, op=op, model=model, task=task)

@@ -254,5 +254,9 @@ def fit_mtl(cfg: TrainConfig, task: AlignTask | None = None, verbose: bool = Fal
     ckpt.close()  # flush async saves (the emergency one especially)
     final = hits_at_k(embed(params), jnp.asarray(task.test_pairs), csls_k=cfg.eval_csls_k)
     final["final_loss"] = float(loss)
+    if cfg.save_emb_path:  # hand the table to the serving path (tpugraph.serve)
+        from tpugraph.serve import save_embeddings
+
+        save_embeddings(cfg.save_emb_path, embed(params))
     logger.close()
     return TrainResult(params=params, metrics=final, history=history, op=op, model=model, task=task)
