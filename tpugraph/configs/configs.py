@@ -76,6 +76,9 @@ class TrainConfig:
     # --- optimization ---
     epochs: int = 400
     eval_csls_k: int = 0  # >0: CSLS hubness-corrected ranking
+    eval_approx_k: int = 0  # >0: MXU-prefiltered TRAINING-history evals —
+    # ranks counted within a sqeuclidean top-k shortlist (train/eval.py);
+    # the final reported metrics always use the exact full-pool path
     steps_per_call: int = 1  # >1: fuse a full resample interval (must equal
     # neg_every) into ONE jitted dispatch — resampling + neg_every train steps
     # as a lax.scan (amortizes per-dispatch latency; plain fit() path only)

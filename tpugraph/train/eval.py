@@ -84,12 +84,69 @@ def _knn_mean_l1(q: jnp.ndarray, cands: jnp.ndarray, k: int, block_c: int = 1024
     return run.mean(axis=1)
 
 
+@partial(jax.jit, static_argnames=("approx_k", "csls_k"))
+def _ranks_l1_prefiltered(
+    q: jnp.ndarray,
+    cands: jnp.ndarray,
+    d_true: jnp.ndarray,
+    approx_k: int,
+    cand_corr: jnp.ndarray | None = None,
+    csls_k: int = 0,
+):
+    """MXU-prefiltered ranks: a sqeuclidean top-``approx_k`` shortlist per
+    query (query-blocked distance tiles on the MXU + ``lax.approx_min_k``),
+    then exact L1 (or CSLS-adjusted L1) scoring within the shortlist only.
+
+    rank(i) = #{j ∈ shortlist(i) : score(q_i, c_j) < score(q_i, true_i)} —
+    exact whenever every candidate L1-closer than the true match lands in the
+    sqeuclidean shortlist (L1/L2 orderings are near-identical on trained
+    embeddings; the delta is measured in tests/test_eval_approx.py).  The
+    full-pool exact path costs S·C·d VPU ops (2.1 s at zh-en scale, d=256);
+    this costs one S·C·d MXU matmul (~ms) + S·approx_k row gathers.
+
+    The true match is its own shortlist member or not — either way it scores
+    ``== score_true`` and the strict-less count excludes it, matching the
+    exact path's tie convention.
+    """
+    from tpugraph.train.negatives import _knn_query_blocked_approx
+
+    s = q.shape[0]
+    no_excl = jnp.full((s,), -1, jnp.int32)
+    short = _knn_query_blocked_approx(q, cands, no_excl, approx_k,
+                                      "sqeuclidean")  # (S, K) candidate ids
+    c_short = jnp.take(cands, short, axis=0)  # (S, K, d)
+    d_short = pairwise_l1(q[:, None, :], c_short).astype(jnp.float32)
+    if csls_k > 0:
+        assert cand_corr is not None
+        score = 2.0 * d_short - jnp.take(cand_corr, short)
+        # candidate i is query i's true match (position-aligned test pairs)
+        thresh = 2.0 * d_true - cand_corr
+    else:
+        score, thresh = d_short, d_true
+    return jnp.sum(score < thresh[:, None], axis=1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _knn_mean_l1_approx(q_pool: jnp.ndarray, cands: jnp.ndarray, k: int):
+    """Approximate CSLS hubness term: candidate j's mean L1 distance to its k
+    nearest queries, with "nearest" selected by sqeuclidean on the MXU (the
+    exact term selects by L1 — a full C·S·d VPU pass)."""
+    from tpugraph.train.negatives import _knn_query_blocked_approx
+
+    c = cands.shape[0]
+    no_excl = jnp.full((c,), -1, jnp.int32)
+    idx = _knn_query_blocked_approx(cands, q_pool, no_excl, k, "sqeuclidean")
+    qk = jnp.take(q_pool, idx, axis=0)  # (C, k, d)
+    return pairwise_l1(cands[:, None, :], qk).astype(jnp.float32).mean(axis=1)
+
+
 def hits_at_k(
     emb: jnp.ndarray,
     test_pairs: jnp.ndarray,
     ks: tuple[int, ...] = (1, 10),
     block_c: int = 1024,
     csls_k: int = 0,
+    approx_k: int = 0,
 ) -> dict[str, float]:
     """Both-direction Hits@k and MRR over the test alignment pairs.
 
@@ -98,18 +155,33 @@ def hits_at_k(
     standard in the HGCN/RDGCN reporting convention): score(q, j) =
     2·d(q, j) − mean_{k-NN}(d(·, j)).  Returns python floats (device→host
     readback happens here only).
+
+    ``approx_k > 0`` switches to the MXU-prefiltered path
+    (``_ranks_l1_prefiltered``): ranks are counted within a sqeuclidean
+    top-``approx_k`` shortlist instead of the full pool — ~20–40× faster at
+    zh-en scale, approximate (measured Hits@1/@10 deltas ≲1e-3 — see
+    tests/test_eval_approx.py).  Training-loop history evals use it behind
+    ``TrainConfig.eval_approx_k``; FINAL reported metrics stay exact.
     """
     l = jnp.take(emb, test_pairs[:, 0], axis=0)
     r = jnp.take(emb, test_pairs[:, 1], axis=0)
-    d_true = pairwise_l1(l, r)
+    d_true = pairwise_l1(l, r).astype(jnp.float32)
     corr = {}
     if csls_k > 0:
-        corr["l"] = _knn_mean_l1(l, r, csls_k, block_c)  # hubness of left wrt right pool
-        corr["r"] = _knn_mean_l1(r, l, csls_k, block_c)
+        if approx_k > 0:
+            corr["l"] = _knn_mean_l1_approx(l, r, csls_k)
+            corr["r"] = _knn_mean_l1_approx(r, l, csls_k)
+        else:
+            corr["l"] = _knn_mean_l1(l, r, csls_k, block_c)  # hubness of left wrt right pool
+            corr["r"] = _knn_mean_l1(r, l, csls_k, block_c)
     out = {}
     for tag, q, cands in (("l2r", l, r), ("r2l", r, l)):
-        if csls_k > 0:
-            cand_corr = corr["r"] if tag == "l2r" else corr["l"]
+        cand_corr = (corr["r"] if tag == "l2r" else corr["l"]) if csls_k > 0 else None
+        if approx_k > 0:
+            ranks = _ranks_l1_prefiltered(q, cands, d_true,
+                                          min(approx_k, cands.shape[0]),
+                                          cand_corr=cand_corr, csls_k=csls_k)
+        elif csls_k > 0:
             ranks = _ranks_l1(q, cands, d_true, block_c=block_c,
                               cand_corr=cand_corr, true_corr=cand_corr)
         else:

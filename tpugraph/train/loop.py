@@ -322,7 +322,8 @@ def fit(
             _save_ckpt(last_of_chunk)
         if cfg.eval_every and (last_of_chunk % cfg.eval_every < steps
                                or last_of_chunk >= cfg.epochs - 1):
-            m = hits_at_k(embed(params), jnp.asarray(task.test_pairs), csls_k=cfg.eval_csls_k)
+            m = hits_at_k(embed(params), jnp.asarray(task.test_pairs),
+                          csls_k=cfg.eval_csls_k, approx_k=cfg.eval_approx_k)
             wall = time.perf_counter() - t_start
             rec = {
                 "epoch": last_of_chunk,

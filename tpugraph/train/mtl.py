@@ -233,7 +233,8 @@ def fit_mtl(cfg: TrainConfig, task: AlignTask | None = None, verbose: bool = Fal
         ):
             _save_ckpt(last)
         if cfg.eval_every and (last % cfg.eval_every < steps or last >= cfg.epochs - 1):
-            m = hits_at_k(embed(params), jnp.asarray(task.test_pairs), csls_k=cfg.eval_csls_k)
+            m = hits_at_k(embed(params), jnp.asarray(task.test_pairs),
+                          csls_k=cfg.eval_csls_k, approx_k=cfg.eval_approx_k)
             rec = {
                 "epoch": last,
                 "wall_s": round(time.perf_counter() - t_start, 3),
