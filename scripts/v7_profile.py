@@ -75,9 +75,9 @@ def main():
     s_seed = pairs.shape[0]
     rng = np.random.default_rng(0)
     # augmented margin batch exactly as fit_mtl builds it: seed + boot pairs
-    pairs_aug = jnp.concatenate(
-        [pairs, jnp.asarray(rng.integers(0, n1, (args.boot_cap, 1)), jnp.int32) * 0
-         + jnp.asarray([[0, n1]], jnp.int32)], 0)
+    boot = np.stack([rng.integers(0, n1, args.boot_cap),
+                     rng.integers(n1, n, args.boot_cap)], 1)
+    pairs_aug = jnp.concatenate([pairs, jnp.asarray(boot, jnp.int32)], 0)
     w = jnp.concatenate([jnp.ones((s_seed,), jnp.float32),
                          jnp.zeros((args.boot_cap,), jnp.float32)], 0)
     s_all = pairs_aug.shape[0]

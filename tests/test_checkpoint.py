@@ -59,7 +59,6 @@ def test_restore_onto_different_mesh(tmp_path):
     ckdir = str(tmp_path / "ck")
     kw = dict(dim=16, eval_every=0, k_neg=5, neg_every=4, neg_mode="uniform",
               syn_n_ent=128, checkpoint_dir=ckdir, checkpoint_every=4)
-    fit(None) if False else None
     r4 = fit_distributed(get_config("base", n_shards=4, epochs=8, **kw), task=task)
     r8 = fit_distributed(get_config("base", n_shards=8, epochs=16, **kw), task=task)
     # the 8-shard run resumed from the 4-shard checkpoint: reference is an

@@ -405,9 +405,6 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
         params = jax.device_put(state["params"], repl)
         params["emb"] = jax.device_put(params["emb"], emb_sharding)
         opt_state = jax.device_put(state["opt_state"], repl)
-        opt_state = jax.tree_util.tree_map(
-            lambda x: x, opt_state
-        )
         # opt_state contains a copy of emb-shaped moments: shard them too
         def _reshard_embed_like(t):
             return jax.tree_util.tree_map(

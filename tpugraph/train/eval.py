@@ -98,9 +98,12 @@ def _ranks_l1_prefiltered(
     then exact L1 (or CSLS-adjusted L1) scoring within the shortlist only.
 
     rank(i) = #{j ∈ shortlist(i) : score(q_i, c_j) < score(q_i, true_i)} —
-    exact whenever every candidate L1-closer than the true match lands in the
-    sqeuclidean shortlist (L1/L2 orderings are near-identical on trained
-    embeddings; the delta is measured in tests/test_eval_approx.py).  The
+    exact (csls_k == 0) whenever every candidate L1-closer than the true
+    match lands in the sqeuclidean shortlist (L1/L2 orderings are
+    near-identical on trained embeddings); with csls_k > 0 both the shortlist
+    score and the hubness term are sqeuclidean-selected approximations, so
+    the result is approximate-tracking only (enforced tolerance 0.02 Hits@k,
+    tests/test_eval_approx.py).  The
     full-pool exact path costs S·C·d VPU ops (2.1 s at zh-en scale, d=256);
     this costs one S·C·d MXU matmul (~ms) + S·approx_k row gathers.
 
@@ -112,8 +115,14 @@ def _ranks_l1_prefiltered(
 
     s = q.shape[0]
     no_excl = jnp.full((s,), -1, jnp.int32)
+    # shortlist by the SAME score family being ranked: with CSLS the selection
+    # runs on 2·d_sq − r_sq(j) (sqeuclidean hubness, MXU) so candidates that
+    # CSLS promotes past the true match are not silently dropped — selecting
+    # by raw distance here diverged by ~0.27 Hits@1 on hub-heavy pools
+    # (tests/test_eval_approx.py::test_shortlisted_hits_track_exact[0.8-10])
     short = _knn_query_blocked_approx(q, cands, no_excl, approx_k,
-                                      "sqeuclidean")  # (S, K) candidate ids
+                                      "sqeuclidean",
+                                      csls_k=csls_k)  # (S, K) candidate ids
     c_short = jnp.take(cands, short, axis=0)  # (S, K, d)
     d_short = pairwise_l1(q[:, None, :], c_short).astype(jnp.float32)
     if csls_k > 0:
@@ -157,10 +166,11 @@ def hits_at_k(
     readback happens here only).
 
     ``approx_k > 0`` switches to the MXU-prefiltered path
-    (``_ranks_l1_prefiltered``): ranks are counted within a sqeuclidean
-    top-``approx_k`` shortlist instead of the full pool — ~20–40× faster at
-    zh-en scale, approximate (measured Hits@1/@10 deltas ≲1e-3 — see
-    tests/test_eval_approx.py).  Training-loop history evals use it behind
+    (``_ranks_l1_prefiltered``): ranks are counted within a top-``approx_k``
+    shortlist instead of the full pool — ~20–40× faster at zh-en scale,
+    approximate (enforced tracking tolerance: 0.02 Hits@1/@10/MRR vs exact,
+    incl. the CSLS branch — tests/test_eval_approx.py; raw-L1 deltas measured
+    ≲1e-3).  Training-loop history evals use it behind
     ``TrainConfig.eval_approx_k``; FINAL reported metrics stay exact.
     """
     l = jnp.take(emb, test_pairs[:, 0], axis=0)
@@ -169,8 +179,11 @@ def hits_at_k(
     corr = {}
     if csls_k > 0:
         if approx_k > 0:
-            corr["l"] = _knn_mean_l1_approx(l, r, csls_k)
-            corr["r"] = _knn_mean_l1_approx(r, l, csls_k)
+            # _knn_mean_l1_approx(q_pool, cands, k) is PER-CANDS: corr['l']
+            # (per-left hubness wrt the right pool, matching the exact
+            # _knn_mean_l1(l, r, k)) therefore takes cands=l, q_pool=r
+            corr["l"] = _knn_mean_l1_approx(r, l, csls_k)
+            corr["r"] = _knn_mean_l1_approx(l, r, csls_k)
         else:
             corr["l"] = _knn_mean_l1(l, r, csls_k, block_c)  # hubness of left wrt right pool
             corr["r"] = _knn_mean_l1(r, l, csls_k, block_c)
