@@ -275,10 +275,15 @@ def test_fit_distributed_rejects_unsupported():
     from tpugraph.configs import get_config
     from tpugraph.dist.trainer import fit_distributed
 
-    for bad in (dict(dropout=0.5), dict(l2_normalize=True)):
-        cfg = get_config("base", n_shards=2, syn_n_ent=64, syn_n_triples=200, **bad)
-        with pytest.raises(ValueError, match="does not support"):
-            fit_distributed(cfg)
+    cfg = get_config("base", n_shards=2, syn_n_ent=64, syn_n_triples=200,
+                     sinkhorn_pairs=32)
+    with pytest.raises(ValueError, match="does not support"):
+        fit_distributed(cfg)
+    # feature TP requires divisible widths — knob must not silently degrade
+    cfg = get_config("base", n_shards=2, feature_shards=3, dim=16,
+                     syn_n_ent=64, syn_n_triples=200)
+    with pytest.raises(ValueError, match="must divide"):
+        fit_distributed(cfg)
 
 
 def test_fit_distributed_slice_dp_matches():
@@ -356,3 +361,105 @@ def test_fit_distributed_bf16_matches():
     assert np.isfinite(rb8.metrics["hits@1"])
     # params stay fp32 under the mixed-precision recipe
     assert np.asarray(rb8.params["emb"]).dtype == np.float32
+
+
+def test_fit_distributed_feature_tp_matches():
+    """Tensor parallelism over 'feature' (column-parallel GEMMs, all_gather'd
+    layer inputs): a (graph=4, feature=2) mesh reproduces N=1 — the knob is
+    real, not cosmetic (highway variant included: gates shard columns too)."""
+    from tpugraph.configs import get_config
+    from tpugraph.data.synthetic import synthetic_align_task
+    from tpugraph.dist.trainer import fit_distributed
+
+    task = synthetic_align_task(seed=11, n_ent=240, n_rel=6, n_triples=800)
+    kw = dict(dim=16, epochs=6, eval_every=6, k_neg=5, neg_every=3,
+              neg_mode="uniform", syn_n_ent=240, highway=True)
+    r1 = fit_distributed(get_config("base", n_shards=1, **kw), task=task)
+    r42 = fit_distributed(get_config("base", n_shards=4, feature_shards=2,
+                                     **kw), task=task)
+    assert r1.history[-1]["loss"] == pytest.approx(r42.history[-1]["loss"], rel=1e-3)
+    # embeddings are the strong invariant (ranks can flip on fp reduction
+    # order under TP at this near-random tiny scale)
+    np.testing.assert_allclose(np.asarray(r1.params["emb"]),
+                               np.asarray(r42.params["emb"]),
+                               rtol=2e-3, atol=2e-4)
+    for gc in ("gc1", "gc2", "hw1"):
+        np.testing.assert_allclose(np.asarray(r1.params[gc]["w"]),
+                                   np.asarray(r42.params[gc]["w"]),
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_fit_distributed_attr_channel_feature_tp():
+    """AE channel under feature TP: attr table + AE GEMMs column-sharded."""
+    from tpugraph.configs import get_config
+    from tpugraph.data.synthetic import synthetic_align_task
+    from tpugraph.dist.trainer import fit_distributed
+
+    task = synthetic_align_task(seed=13, n_ent=120, n_rel=5, n_triples=500, n_attr=16)
+    kw = dict(dim=16, epochs=6, eval_every=6, k_neg=6, neg_every=3,
+              neg_mode="uniform", syn_n_ent=120, use_attr_channel=True,
+              attr_beta=0.8)
+    r1 = fit_distributed(get_config("base", n_shards=1, **kw), task=task)
+    r22 = fit_distributed(get_config("base", n_shards=2, feature_shards=2,
+                                     **kw), task=task)
+    np.testing.assert_allclose(np.asarray(r1.params["emb"]),
+                               np.asarray(r22.params["emb"]), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(r1.params["attr_emb"]),
+                               np.asarray(r22.params["attr_emb"]), rtol=2e-3, atol=2e-4)
+
+
+def test_fit_distributed_dropout_matches_across_shards():
+    """Dropout in the sharded trainer: the mask is generated globally from the
+    epoch key, so training is shard-count-invariant; dropout visibly changes
+    the trajectory vs no-dropout; eval-mode embeddings are dropout-inert."""
+    from tpugraph.configs import get_config
+    from tpugraph.data.synthetic import synthetic_align_task
+    from tpugraph.dist.trainer import fit_distributed
+
+    task = synthetic_align_task(seed=11, n_ent=240, n_rel=6, n_triples=800)
+    kw = dict(dim=16, epochs=6, eval_every=6, k_neg=5, neg_every=3,
+              neg_mode="uniform", syn_n_ent=240)
+    rd1 = fit_distributed(get_config("base", n_shards=1, dropout=0.3, **kw), task=task)
+    rd8 = fit_distributed(get_config("base", n_shards=8, dropout=0.3, **kw), task=task)
+    np.testing.assert_allclose(np.asarray(rd1.params["emb"]),
+                               np.asarray(rd8.params["emb"]), rtol=1e-4, atol=1e-6)
+    r0 = fit_distributed(get_config("base", n_shards=1, **kw), task=task)
+    assert abs(rd1.history[-1]["loss"] - r0.history[-1]["loss"]) > 1e-4
+    # eval-inert: with no training steps the reported metrics ignore dropout
+    kw0 = {**kw, "epochs": 0, "eval_every": 0}
+    ra = fit_distributed(get_config("base", n_shards=8, dropout=0.6, **kw0), task=task)
+    rb = fit_distributed(get_config("base", n_shards=8, **kw0), task=task)
+    assert ra.metrics["hits@1"] == rb.metrics["hits@1"]
+
+
+def test_fit_distributed_l2_normalize_tp():
+    """l2_normalize under TP: the row squared-sum psums over 'feature'."""
+    from tpugraph.configs import get_config
+    from tpugraph.data.synthetic import synthetic_align_task
+    from tpugraph.dist.trainer import fit_distributed
+
+    task = synthetic_align_task(seed=11, n_ent=240, n_rel=6, n_triples=800)
+    kw = dict(dim=16, epochs=6, eval_every=6, k_neg=5, neg_every=3,
+              neg_mode="uniform", syn_n_ent=240, l2_normalize=True)
+    r1 = fit_distributed(get_config("base", n_shards=1, **kw), task=task)
+    r42 = fit_distributed(get_config("base", n_shards=4, feature_shards=2,
+                                     **kw), task=task)
+    np.testing.assert_allclose(np.asarray(r1.params["emb"]),
+                               np.asarray(r42.params["emb"]), rtol=2e-3, atol=2e-4)
+
+
+def test_fit_distributed_hard_negatives_ring_csls():
+    """CSLS hard mining at n_shards>1 now runs the ring hubness pass (no
+    GSPMD quadratic fallback); N=8 ≡ N=1 on the training trajectory."""
+    from tpugraph.configs import get_config
+    from tpugraph.data.synthetic import synthetic_align_task
+    from tpugraph.dist.trainer import fit_distributed
+
+    task = synthetic_align_task(seed=17, n_ent=240, n_rel=6, n_triples=800)
+    kw = dict(dim=16, epochs=6, eval_every=6, k_neg=5, neg_every=3,
+              neg_mode="hard", neg_csls_k=8, syn_n_ent=240)
+    r1 = fit_distributed(get_config("base", n_shards=1, **kw), task=task)
+    r8 = fit_distributed(get_config("base", n_shards=8, **kw), task=task)
+    assert r1.history[-1]["loss"] == pytest.approx(r8.history[-1]["loss"], rel=1e-3)
+    np.testing.assert_allclose(np.asarray(r1.params["emb"]),
+                               np.asarray(r8.params["emb"]), rtol=2e-3, atol=2e-4)

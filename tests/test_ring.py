@@ -86,3 +86,25 @@ def test_ring_sinkhorn_loss_and_grad_match_single_device():
                                                         n_iters=12))(emb)
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
                                rtol=1e-3, atol=1e-5)
+
+
+def test_ring_knn_csls_matches_blockwise():
+    """Ring CSLS mining (hubness ring pass + 2*d - r(j) top-k) reproduces the
+    single-device blockwise_knn_l1(csls_k>0) semantics, both metrics."""
+    import jax.numpy as jnp
+
+    from tpugraph.dist.ring import ring_knn
+    from tpugraph.train.negatives import blockwise_knn_l1
+
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((37, 8)).astype(np.float32))
+    c = jnp.asarray(rng.standard_normal((101, 8)).astype(np.float32))
+    c = c.at[:6].mul(0.05)  # hub rows: CSLS must demote them
+    excl = jnp.asarray(rng.integers(0, 101, 37), dtype=jnp.int32)
+    for metric in ("cityblock", "sqeuclidean"):
+        want = np.asarray(blockwise_knn_l1(q, c, excl, k=5, block_c=101,
+                                           metric=metric, csls_k=7))
+        got = np.asarray(ring_knn(q, c, excl, 5, _mesh(), metric=metric,
+                                  csls_k=7))
+        np.testing.assert_array_equal(np.sort(got, axis=1),
+                                      np.sort(want, axis=1)), metric

@@ -6,8 +6,13 @@ axis; leading (n_shards, …) axes of HaloGraph are already split away):
 1. gather the boundary rows each peer needs and launch ONE tiled
    ``all_to_all`` over ICI;
 2. aggregate the LOCAL edge group — independent of the exchange, so XLA's
-   latency-hiding scheduler overlaps it with the in-flight collective
-   (SURVEY.md §3.4 / §7 hard part 4; verified via profiler trace);
+   latency-hiding scheduler CAN overlap it with the in-flight collective
+   (SURVEY.md §3.4 / §7 hard part 4).  Overlap evidence: the profiler hangs
+   on this platform (docs/DESIGN.md §7), so the claim is backed by the
+   forced-serialization ablation instead — ``force_serialize=True`` makes the
+   local aggregation data-depend on the received buffer, and
+   ``scripts/overlap_probe.py`` measures the delta (results in DESIGN.md §5);
+   a trace on a directly-attached pod slice remains future validation.
 3. aggregate the BOUNDARY edge group from the received halo buffer;
 4. sum the two partial aggregations.
 
@@ -35,9 +40,15 @@ def halo_spmm_ell(
     send_idx,  # (S, B)
     send_mask,  # (S, B)
     axis: str = "graph",
+    force_serialize: bool = False,
 ) -> jnp.ndarray:
     """Scatter-free halo SpMM: same exchange/overlap structure as halo_spmm,
-    aggregation via the ELL path (kernels/spmm_ell.py) in fwd AND bwd."""
+    aggregation via the ELL path (kernels/spmm_ell.py) in fwd AND bwd.
+
+    ``force_serialize``: benchmarking aid (scripts/overlap_probe.py) — makes
+    the local aggregation consume the received buffer first, so the schedule
+    CANNOT overlap the collective with local compute; the timing delta vs the
+    default is the measured overlap benefit."""
     from tpugraph.kernels.spmm_ell import spmm_ell
 
     s, b = send_idx.shape
@@ -48,6 +59,10 @@ def halo_spmm_ell(
         # as bf16 (half the exchange bytes), not get promoted to fp32
         send = send * send_mask[:, :, None].astype(send.dtype)
         recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0, tiled=True)
+    if force_serialize:
+        # optimization_barrier ties x_local's availability to recv: the local
+        # aggregation can then only start after the collective completes
+        x_local, recv = jax.lax.optimization_barrier((x_local, recv))
     with jax.named_scope("spmm_local"):
         out = spmm_ell(loc_op, x_local)
     with jax.named_scope("spmm_boundary"):
@@ -62,6 +77,7 @@ def halo_spmm(
     send_idx,  # (S, B) — local rows to send to each peer
     send_mask,  # (S, B)
     axis: str = "graph",
+    force_serialize: bool = False,
 ) -> jnp.ndarray:
     n_loc, d = x_local.shape
     s, b = send_idx.shape
@@ -70,6 +86,8 @@ def halo_spmm(
         send = jnp.take(x_local, send_idx.reshape(-1), axis=0).reshape(s, b, d)
         send = send * send_mask[:, :, None].astype(send.dtype)
         recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0, tiled=True)
+    if force_serialize:  # benchmarking aid — see halo_spmm_ell docstring
+        x_local, recv = jax.lax.optimization_barrier((x_local, recv))
     # 2. local aggregation — no data dependence on `recv`; overlaps the exchange
     with jax.named_scope("spmm_local"):
         out = _segsum(loc_w, x_local, loc_src, loc_dst, n_loc)

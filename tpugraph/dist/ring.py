@@ -95,22 +95,67 @@ def ring_hits_at_k(
 
 
 # ------------------------------------------------------------ k-NN negatives
-def _ring_topk_body(q, cand, exclude_global, cand_offset0, k, axis: str):
+def _dist_tile(a, b, metric: str):
+    """(A, d) × (B, d) -> (A, B) distance tile.  cityblock matches the
+    family/oracle semantics (VPU); sqeuclidean rides the MXU."""
+    if metric == "sqeuclidean":
+        a32, b32 = a.astype(jnp.float32), b.astype(jnp.float32)
+        return (jnp.sum(a32 * a32, -1)[:, None] + jnp.sum(b32 * b32, -1)[None, :]
+                - 2.0 * jnp.dot(a32, b32.T, preferred_element_type=jnp.float32))
+    return pairwise_l1(a[:, None, :], b[None, :, :]).astype(jnp.float32)
+
+
+def _ring_hubness_body(cand, qblk, qval, csls_k, metric, axis: str):
+    """r(j) for the LOCAL candidate block: mean distance of each candidate to
+    its csls_k nearest queries across the whole ring (query blocks rotate;
+    candidates stay home).  Matches blockwise_knn_l1's exact hubness term —
+    computed from ALL queries, no exclusion masking."""
+    s = jax.lax.axis_size(axis)
+
+    def body(i, carry):
+        run, qb, qv = carry
+        d = _dist_tile(cand, qb, metric)  # (B, Qblk)
+        d = jnp.where(qv[None, :] > 0, d, jnp.inf)  # padded queries never near
+        allv = jnp.concatenate([run, d], axis=1)
+        negtop, _ = jax.lax.top_k(-allv, csls_k)
+        perm = _ring_perm(axis)
+        return (-negtop,
+                jax.lax.ppermute(qb, axis, perm=perm),
+                jax.lax.ppermute(qv, axis, perm=perm))
+
+    run0 = jax.lax.pvary(
+        jnp.full((cand.shape[0], csls_k), jnp.inf, jnp.float32), (axis,))
+    run, _, _ = jax.lax.fori_loop(0, s, body, (run0, qblk, qval))
+    r = run.mean(axis=1)
+    # padded candidate rows (sentinel coords) can produce inf/overflow means;
+    # zero them like the blockwise path so 2·d − r stays NaN-free
+    return jnp.where(jnp.isfinite(r), r, 0.0)
+
+
+def _ring_topk_body(q, cand, exclude_global, cand_offset0, k, axis: str,
+                    metric: str = "cityblock", r_blk=None):
     """Running smallest-k over ring-rotated candidate blocks.
 
     exclude_global: (B,) global candidate index to skip (true partner).
     cand_offset0: scalar — global offset of the LOCAL candidate block; each
     rotation's offset is derived from the source device of the current block.
+    r_blk: optional per-candidate CSLS hubness block rotating WITH cand —
+    candidates are then ranked by 2·d − r(j) (hubness-corrected mining).
     """
     s = jax.lax.axis_size(axis)
     me = jax.lax.axis_index(axis)
     b = cand.shape[0]
+    csls = r_blk is not None
+    if not csls:
+        r_blk = jnp.zeros((b,), jnp.float32)
 
     def body(i, carry):
-        vals, idxs, cand = carry
+        vals, idxs, cand, rb = carry
         src_dev = (me - i) % s  # who originally owned the block we now hold
         off = cand_offset0 + (src_dev - me) * b
-        d = pairwise_l1(q[:, None, :], cand[None, :, :]).astype(jnp.float32)
+        d = _dist_tile(q, cand, metric)
+        if csls:
+            d = 2.0 * d - rb[None, :]
         gidx = off + jax.lax.broadcasted_iota(jnp.int32, (q.shape[0], b), 1)
         d = jnp.where(gidx == exclude_global[:, None], jnp.inf, d)
         allv = jnp.concatenate([vals, d], axis=1)
@@ -118,12 +163,16 @@ def _ring_topk_body(q, cand, exclude_global, cand_offset0, k, axis: str):
         negtop, pos = jax.lax.top_k(-allv, k)
         vals = -negtop
         idxs = jnp.take_along_axis(alli, pos, axis=1)
-        cand = jax.lax.ppermute(cand, axis, perm=_ring_perm(axis))
-        return vals, idxs, cand
+        perm = _ring_perm(axis)
+        cand = jax.lax.ppermute(cand, axis, perm=perm)
+        rb = jax.lax.ppermute(rb, axis, perm=perm)
+        return vals, idxs, cand, rb
 
     vals = jax.lax.pvary(jnp.full((q.shape[0], k), jnp.inf, jnp.float32), (axis,))
     idxs = jax.lax.pvary(jnp.zeros((q.shape[0], k), jnp.int32), (axis,))
-    vals, idxs, _ = jax.lax.fori_loop(0, s, body, (vals, idxs, cand))
+    if not csls:
+        r_blk = jax.lax.pvary(r_blk, (axis,))
+    vals, idxs, _, _ = jax.lax.fori_loop(0, s, body, (vals, idxs, cand, r_blk))
     return idxs
 
 
@@ -134,8 +183,17 @@ def ring_knn(
     k: int,
     mesh,
     axis: str = "graph",
+    *,
+    metric: str = "cityblock",
+    csls_k: int = 0,
 ) -> jnp.ndarray:
-    """Global k-NN indices into cands, computed ring-blockwise."""
+    """Global k-NN indices into cands, computed ring-blockwise.
+
+    ``csls_k > 0`` mines by the CSLS-adjusted score 2·d(q,j) − r(j) — the
+    candidate hubness r(j) comes from a FIRST ring pass (query blocks rotate
+    past home candidate blocks with a running top-k), then rotates alongside
+    its candidate block in the top-k pass.  Semantics match the single-device
+    blockwise_knn_l1(csls_k=...) (tests/test_ring.py)."""
     s_mesh = mesh.shape[axis]
     qn, d = q.shape
     c = cands.shape[0]
@@ -144,19 +202,23 @@ def ring_knn(
     if q_pad != qn:
         q = jnp.concatenate([q, jnp.zeros((q_pad - qn, d), q.dtype)])
         exclude = jnp.concatenate([exclude, jnp.full((q_pad - qn,), -1, exclude.dtype)])
+    qvalid = (jnp.arange(q_pad) < qn).astype(jnp.float32)
     if c_pad != c:
-        cands = jnp.concatenate([cands, jnp.full((c_pad - c, d), 1e30, cands.dtype)])
+        # sentinel far-away rows; 1e17 keeps sqeuclidean (squares) finite
+        cands = jnp.concatenate([cands, jnp.full((c_pad - c, d), 1e17, cands.dtype)])
     b = c_pad // s_mesh
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(axis, None), P(axis, None), P(axis)),
+             in_specs=(P(axis, None), P(axis, None), P(axis), P(axis)),
              out_specs=P(axis, None))
-    def knn_fn(qb, cb, ex):
+    def knn_fn(qb, cb, ex, qv):
         me = jax.lax.axis_index(axis)
-        return _ring_topk_body(qb, cb, ex, me * b, k, axis)
+        rb = (_ring_hubness_body(cb, qb, qv, csls_k, metric, axis)
+              if csls_k > 0 else None)
+        return _ring_topk_body(qb, cb, ex, me * b, k, axis, metric, rb)
 
     with mesh:
-        idxs = knn_fn(q, cands, exclude)
+        idxs = knn_fn(q, cands, exclude, qvalid)
     return idxs[:qn]
 
 

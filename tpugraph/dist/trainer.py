@@ -62,9 +62,11 @@ def init_params(key, n_pad: int, dim: int, hidden: int, highway: bool,
 
 
 def make_encoder(mesh, halo, highway: bool, impl: str = "sorted",
-                 attr_channel: bool = False, compute_dtype: str = "float32"):
-    """Returns encode(params, halo[, attr_op]) -> (N_pad, d) row-sharded on
-    'graph' — or an (se, ae) pair when ``attr_channel`` (GCN-Align AE).
+                 attr_channel: bool = False, compute_dtype: str = "float32",
+                 dropout: bool = False, l2_normalize: bool = False):
+    """Returns encode(params, halo[, mask][, attr_op]) -> (N_pad, d) sharded
+    P('graph', 'feature') — or an (se, ae) pair when ``attr_channel``
+    (GCN-Align AE).
 
     The shard_map body mirrors models/encoder.py AlignGCN exactly (parity
     is asserted in tests/test_dist.py); only the SpMM is halo-exchanged.
@@ -77,8 +79,26 @@ def make_encoder(mesh, halo, highway: bool, impl: str = "sorted",
     ``compute_dtype='bfloat16'``: bf16 activations through the SpMMs and
     GEMMs (params and K-axis accumulation stay fp32; the halo all_to_all
     ships bf16 rows — half the ICI bytes); output cast back to fp32.
+
+    Tensor parallelism over the mesh's 'feature' axis (SURVEY.md §2.2 TP
+    row): every GEMM is column-parallel — weights and biases are sharded on
+    the OUTPUT dim, each feature shard ``all_gather``s the layer input to
+    full width and computes its column slice.  All row-wise work downstream
+    of a GEMM (the SpMMs, the halo all_to_all bytes, highway gates) then
+    carries width d/F per shard, and the final embeddings come out
+    P('graph', 'feature').  Backward through the all_gather is a
+    reduce-scatter — inserted by AD, no hand-written collectives.
+
+    ``dropout``: encode takes an extra (n_loc, hidden) mask argument (values
+    {0, 1/keep} for training, all-ones for eval), applied to the gc2 input —
+    same placement as AlignGCN.  The mask is generated GLOBALLY by the
+    caller, so runs are bit-identical across shard counts.
+    ``l2_normalize``: per-row L2 norm of the fp32 output; the squared-sum
+    reduces over 'feature' with a psum (rows are column-sharded under TP).
     """
     repl = P()
+    col = P(None, "feature")  # GEMM weights: output-dim (column) sharded
+    bias = P("feature")
     cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
 
     @partial(
@@ -86,21 +106,26 @@ def make_encoder(mesh, halo, highway: bool, impl: str = "sorted",
         mesh=mesh,
         in_specs=(
             {  # params
-                "emb": P("graph", None),
-                "gc1": {"w": repl, "b": repl},
-                "gc2": {"w": repl, "b": repl},
-                **({"hw1": {"w": repl, "b": repl}, "hw2": {"w": repl, "b": repl}}
+                "emb": P("graph", "feature"),
+                "gc1": {"w": col, "b": bias},
+                "gc2": {"w": col, "b": bias},
+                **({"hw1": {"w": col, "b": bias}, "hw2": {"w": col, "b": bias}}
                    if highway else {}),
-                **({"attr_emb": repl,
-                    "ae_gc1": {"w": repl, "b": repl},
-                    "ae_gc2": {"w": repl, "b": repl}} if attr_channel else {}),
+                **({"attr_emb": col,
+                    "ae_gc1": {"w": col, "b": bias},
+                    "ae_gc2": {"w": col, "b": bias}} if attr_channel else {}),
             },
             P("graph"),  # halo operator: prefix spec — every leaf splits dim 0
-        ) + ((P("graph"),) if attr_channel else ()),
-        out_specs=(P("graph", None), P("graph", None)) if attr_channel
-        else P("graph", None),
+        ) + ((P("graph", None),) if dropout else ())
+        + ((P("graph"),) if attr_channel else ()),
+        out_specs=(P("graph", "feature"), P("graph", "feature")) if attr_channel
+        else P("graph", "feature"),
     )
-    def encode(params, hs, *attr_ops):
+    def encode(params, hs, *extra):
+        if dropout:
+            mask, attr_ops = extra[0], extra[1:]
+        else:
+            mask, attr_ops = None, extra
         if impl == "ell":
             from tpugraph.dist.halo import halo_spmm_ell
             from tpugraph.sparse.halo_ell import squeeze_shard
@@ -129,29 +154,43 @@ def make_encoder(mesh, halo, highway: bool, impl: str = "sorted",
         def w_(p):  # params stay fp32; cast at use (mixed-precision recipe)
             return p["w"].astype(cdt)
 
-        x = params["emb"].astype(cdt)  # (n_loc, dim)
-        h = jax.nn.relu(spmm(x @ w_(params["gc1"])) + params["gc1"]["b"].astype(cdt))
+        def b_(p):
+            return p["b"].astype(cdt)
+
+        def gather_f(v):  # (n_loc, d/F) column shard -> (n_loc, d) full width
+            return jax.lax.all_gather(v, "feature", axis=1, tiled=True)
+
+        x_c = params["emb"].astype(cdt)  # (n_loc, dim/F)
+        x = gather_f(x_c)  # (n_loc, dim)
+        h_c = jax.nn.relu(spmm(x @ w_(params["gc1"])) + b_(params["gc1"]))
         if highway:
-            t = jax.nn.sigmoid(x @ w_(params["hw1"]) + params["hw1"]["b"].astype(cdt))
-            h = t * h + (1.0 - t) * x
-        h2 = spmm(h @ w_(params["gc2"])) + params["gc2"]["b"].astype(cdt)
+            t_c = jax.nn.sigmoid(x @ w_(params["hw1"]) + b_(params["hw1"]))
+            h_c = t_c * h_c + (1.0 - t_c) * x_c
+        h = gather_f(h_c)  # (n_loc, hidden)
+        h_in = h if mask is None else h * mask.astype(cdt)
+        h2_c = spmm(h_in @ w_(params["gc2"])) + b_(params["gc2"])
         if highway:
-            t2 = jax.nn.sigmoid(h @ w_(params["hw2"]) + params["hw2"]["b"].astype(cdt))
-            h2 = t2 * h2 + (1.0 - t2) * h
+            t2_c = jax.nn.sigmoid(h @ w_(params["hw2"]) + b_(params["hw2"]))
+            h2_c = t2_c * h2_c + (1.0 - t2_c) * h_c
+        se = h2_c.astype(jnp.float32)
+        if l2_normalize:
+            ss = jax.lax.psum(jnp.sum(se * se, axis=-1, keepdims=True), "feature")
+            se = se / (jnp.sqrt(ss) + 1e-8)
         if not attr_channel:
-            return h2.astype(jnp.float32)
+            return se
         from tpugraph.kernels.spmm_ell import spmm_ell
         from tpugraph.sparse.halo_ell import squeeze_shard as _sq
 
         inc = _sq(attr_ops[0])
-        # pvary: mark the replicated attr table as device-varying so the
+        # pvary: mark the graph-replicated attr table as device-varying so the
         # custom-VJP SpMM's per-shard cotangent transposes through a psum
         # (shard_map's VMA check cannot infer this across a custom_vjp)
         ae_emb = jax.lax.pvary(params["attr_emb"], "graph").astype(cdt)
-        x0 = spmm_ell(inc, ae_emb)  # (n_loc, dim) — shard-local
-        ah = jax.nn.relu(spmm(x0 @ w_(params["ae_gc1"])) + params["ae_gc1"]["b"].astype(cdt))
-        ae = spmm(ah @ w_(params["ae_gc2"])) + params["ae_gc2"]["b"].astype(cdt)
-        return h2.astype(jnp.float32), ae.astype(jnp.float32)
+        x0 = gather_f(spmm_ell(inc, ae_emb))  # (n_loc, dim) — shard-local rows
+        ah_c = jax.nn.relu(spmm(x0 @ w_(params["ae_gc1"])) + b_(params["ae_gc1"]))
+        ah = gather_f(ah_c)
+        ae_c = spmm(ah @ w_(params["ae_gc2"])) + b_(params["ae_gc2"])
+        return se, ae_c.astype(jnp.float32)
 
     return encode
 
@@ -160,11 +199,6 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
                     verbose: bool = False) -> TrainResult:
     task = task or load_task(cfg)
     n_shards = cfg.n_shards
-    if cfg.dropout > 0 or cfg.l2_normalize:
-        raise ValueError(
-            "fit_distributed does not support dropout/l2_normalize "
-            "yet — rejecting rather than silently ignoring"
-        )
     if cfg.param_dtype not in ("float32", "bfloat16"):
         raise ValueError(f"unsupported param_dtype {cfg.param_dtype!r}")
     if cfg.sinkhorn_pairs > 0:
@@ -198,6 +232,10 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
     hidden = cfg.hidden or cfg.dim
     if cfg.highway and hidden != cfg.dim:
         raise ValueError("highway gates require hidden == dim")
+    n_feat = max(1, cfg.feature_shards)
+    if cfg.dim % n_feat or hidden % n_feat:
+        raise ValueError(
+            f"feature_shards={n_feat} must divide dim={cfg.dim} and hidden={hidden}")
     key = jax.random.PRNGKey(cfg.seed)
     key, ik = jax.random.split(key)
     attr_all = task.merged_attr_triples
@@ -207,10 +245,28 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
         n_attr=task.n_attr if cfg.use_attr_head else 0,
         n_attr_channel=task.n_attr if use_ae else 0,
     )
-    emb_sharding = NamedSharding(mesh, P("graph", None))
+    emb_sharding = NamedSharding(mesh, P("graph", "feature"))
+    col_sharding = NamedSharding(mesh, P(None, "feature"))
+    bias_sharding = NamedSharding(mesh, P("feature"))
     repl = NamedSharding(mesh, P())
-    params = jax.device_put(params, repl)
-    params["emb"] = jax.device_put(params["emb"], emb_sharding)
+
+    def place_params(p):
+        """emb entity+feature sharded; GEMM weights column-sharded on
+        'feature' (TP); heads (rel/attr_out) replicated."""
+        out = {}
+        for name, sub in p.items():
+            if name == "emb":
+                out[name] = jax.device_put(sub, emb_sharding)
+            elif name in ("gc1", "gc2", "hw1", "hw2", "ae_gc1", "ae_gc2"):
+                out[name] = {"w": jax.device_put(sub["w"], col_sharding),
+                             "b": jax.device_put(sub["b"], bias_sharding)}
+            elif name == "attr_emb":
+                out[name] = jax.device_put(sub, col_sharding)
+            else:
+                out[name] = jax.device_put(sub, repl)
+        return out
+
+    params = place_params(params)
     if cfg.spmm_impl == "ell":
         from tpugraph.sparse.halo_ell import build_halo_ell
 
@@ -226,13 +282,24 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
                                             n_shards, hg.n_loc)
         attr_args = (jax.device_put(attr_inc, NamedSharding(mesh, P("graph"))),)
 
+    use_dropout = cfg.dropout > 0
     encode = make_encoder(mesh, halo, cfg.highway,
                           impl="ell" if cfg.spmm_impl == "ell" else "sorted",
-                          attr_channel=use_ae, compute_dtype=cfg.param_dtype)
+                          attr_channel=use_ae, compute_dtype=cfg.param_dtype,
+                          dropout=use_dropout, l2_normalize=cfg.l2_normalize)
     from tpugraph.train.optim import make_tx
 
     tx = make_tx(cfg)
-    opt_state = jax.device_put(tx.init(params), repl)
+
+    def _reshard_embed_like(t):
+        """Place emb-shaped optimizer moments on the emb sharding (they are
+        the big arrays; everything else in opt_state stays replicated)."""
+        emb_shape = params["emb"].shape
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, emb_sharding)
+            if hasattr(x, "shape") and x.shape == emb_shape else x, t)
+
+    opt_state = _reshard_embed_like(jax.device_put(tx.init(params), repl))
 
     pairs = jax.device_put(jnp.asarray(task.train_pairs), repl)
     n1, n = task.kg1.n_ent, task.n_ent
@@ -314,9 +381,27 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
         keys = ("emb", "gc1", "gc2", "hw1", "hw2", "attr_emb", "ae_gc1", "ae_gc2")
         return {k: p[k] for k in keys if k in p}
 
-    def encode_se_ae(p):
+    mask_sharding = NamedSharding(mesh, P("graph", None))
+    if use_dropout:
+        # eval/mining mask: all-ones — dropout is inert outside training
+        # steps (mirrors AlignGCN's deterministic=not train)
+        eval_mask = jax.device_put(jnp.ones((n_pad, hidden), jnp.float32),
+                                   mask_sharding)
+        drop_base = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), 1 << 20)
+
+        def drop_mask(key):
+            """Global (n_pad, hidden) inverted-dropout mask — generated from
+            the global key, so identical at every shard count."""
+            keep = 1.0 - cfg.dropout
+            m = jax.random.bernoulli(key, keep, (n_pad, hidden))
+            return jax.lax.with_sharding_constraint(
+                m.astype(jnp.float32) / keep, mask_sharding)
+
+    def encode_se_ae(p, mask=None):
         """(se, ae) — ae is None without the attribute channel."""
-        out = encode(enc_sub(p), halo, *attr_args)
+        mask_args = ((eval_mask if mask is None else mask,) if use_dropout
+                     else ())
+        out = encode(enc_sub(p), halo, *mask_args, *attr_args)
         return out if use_ae else (out, None)
 
     def encode_emb(p):
@@ -332,7 +417,8 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
         """Margin on SE (+ AE-channel margin) + MTL head losses.  batch
         carries the (possibly boot-augmented) pairs and their weights; the
         Sinkhorn head stays on the seed pairs (as in the single-device MTL)."""
-        se, ae = encode_se_ae(p)
+        mask = drop_mask(batch["drop_key"]) if use_dropout else None
+        se, ae = encode_se_ae(p, mask=mask)
         bp, bw = batch["pairs"], batch["w"]
         loss = margin_align_loss(se, bp, batch["neg_l"], batch["neg_r"], cfg.gamma, bw)
         aux = {"margin": loss}
@@ -356,20 +442,21 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
     @jax.jit
     def resample_hard(params, pairs_t):
         emb = encode_emb(params)
-        if n_shards > 1 and cfg.neg_csls_k == 0:
+        if n_shards > 1:
             # ring-blockwise mining (SURVEY.md §5.7): candidate shards rotate
-            # via ppermute; no shard ever holds the full candidate pool
+            # via ppermute; no shard ever holds the full candidate pool.
+            # csls_k > 0 adds the hubness ring pass (CSLS-corrected mining).
             from tpugraph.dist.ring import ring_knn
 
             e_l = jnp.take(emb, pairs_t[:, 0], axis=0)
             e_r = jnp.take(emb, pairs_t[:, 1], axis=0)
             cand_l = jax.lax.slice_in_dim(emb, 0, n1, axis=0)
             cand_r = jax.lax.slice_in_dim(emb, n1, n, axis=0)
-            neg_r = ring_knn(e_l, cand_r, pairs_t[:, 1] - n1, cfg.k_neg, mesh) + n1
-            neg_l = ring_knn(e_r, cand_l, pairs_t[:, 0], cfg.k_neg, mesh)
+            neg_r = ring_knn(e_l, cand_r, pairs_t[:, 1] - n1, cfg.k_neg, mesh,
+                             metric=cfg.neg_metric, csls_k=cfg.neg_csls_k) + n1
+            neg_l = ring_knn(e_r, cand_l, pairs_t[:, 0], cfg.k_neg, mesh,
+                             metric=cfg.neg_metric, csls_k=cfg.neg_csls_k)
             return neg_l, neg_r
-        # CSLS mining: GSPMD blockwise path (ring CSLS hubness pass is future
-        # work; XLA inserts the gathers over the row-sharded embeddings)
         return sample_hard_negatives(emb, pairs_t, n1, n, cfg.k_neg,
                                      metric=cfg.neg_metric, approx=cfg.neg_approx,
                                      csls_k=cfg.neg_csls_k)
@@ -402,15 +489,9 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
         start_epoch += 1
         # re-place everything on THIS run's mesh: the checkpoint may come
         # from a different shard count (Orbax restores global arrays)
-        params = jax.device_put(state["params"], repl)
-        params["emb"] = jax.device_put(params["emb"], emb_sharding)
-        opt_state = jax.device_put(state["opt_state"], repl)
+        params = place_params(state["params"])
         # opt_state contains a copy of emb-shaped moments: shard them too
-        def _reshard_embed_like(t):
-            return jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, emb_sharding)
-                if hasattr(x, "shape") and x.shape == params["emb"].shape else x, t)
-        opt_state = _reshard_embed_like(opt_state)
+        opt_state = _reshard_embed_like(jax.device_put(state["opt_state"], repl))
 
     base_key = jax.random.PRNGKey(cfg.seed)
 
@@ -483,14 +564,16 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
             batch["attr_triples"] = jnp.take(attr_triples, idx, axis=0)
         batch = shard_slice(batch)
 
-        def body(carry, _):
+        def body(carry, e):
             params, opt_state = carry
-            (loss, aux), grads = jax.value_and_grad(joint_loss, has_aux=True)(params, batch)
+            b = ({**batch, "drop_key": jax.random.fold_in(drop_base, e)}
+                 if use_dropout else batch)
+            (loss, aux), grads = jax.value_and_grad(joint_loss, has_aux=True)(params, b)
             updates, opt_state = tx.update(grads, opt_state, params)
             return (optax.apply_updates(params, updates), opt_state), (loss, aux)
 
         (params, opt_state), (losses, auxs) = jax.lax.scan(
-            body, (params, opt_state), None, length=steps
+            body, (params, opt_state), epoch0 + jnp.arange(steps, dtype=jnp.int32)
         )
         return params, opt_state, losses[-1], jax.tree_util.tree_map(lambda a: a[-1], auxs)
 
@@ -509,6 +592,9 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
             else:
                 if epoch % cfg.neg_every == 0 or batch is None:
                     batch = make_batch(epoch)
+                if use_dropout:  # fresh mask every epoch (matches fit())
+                    batch = {**batch,
+                             "drop_key": jax.random.fold_in(drop_base, epoch)}
                 params, opt_state, loss, aux = train_step(params, opt_state, batch)
             last = epoch + steps - 1
             def _save_ckpt(at_epoch):
