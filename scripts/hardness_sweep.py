@@ -1,0 +1,77 @@
+"""De-artifact the accuracy ladder: re-run the v4→v7 recipe ladder across
+generator-hardness regimes (VERDICT.md round-1 "Next round" #5).
+
+Round 1 tuned every recipe on the pinned synthetic task at its default
+hardness (attr_noise=0.1, full attribute coverage, Zipf α=0.9), where the
+planted attribute signal is strong — so the v7 "+28 Hits@1 from the attr
+head" and the dim-256 win could be generator artifacts.  This sweep re-runs
+the ladder at harder regimes (noisier attributes, partial attribute
+coverage, heavier hub skew — knobs added to data/synthetic.py) and reports
+which recipe wins survive.  Oracle confirmation for the headline points via
+
+    python scripts/hardness_sweep.py --oracle --settings medium --recipes v7
+
+Results recorded in BASELINE.md ("hardness ladder" table).
+
+    JAX_PLATFORMS=cpu python scripts/hardness_sweep.py [--settings a,b]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from tpugraph.configs.recipes import RECIPES
+
+# attr_noise: probability a KG2 attribute slot is re-rolled
+# attr_coverage: per-side fraction of entities with any attributes
+# alpha: Zipf exponent of entity popularity (hub skew)
+SETTINGS = {
+    "easy": dict(attr_noise=0.1, attr_coverage=1.0, alpha=0.9),  # round-1 regime
+    "medium": dict(attr_noise=0.4, attr_coverage=0.6, alpha=1.1),
+    "hard": dict(attr_noise=0.6, attr_coverage=0.3, alpha=1.2),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--settings", default=",".join(SETTINGS))
+    ap.add_argument("--recipes", default="v4,v5,v6,v7")
+    ap.add_argument("--oracle", action="store_true",
+                    help="also run the torch-CPU parity oracle at each point")
+    args = ap.parse_args()
+
+    from tpugraph.configs import get_config
+    from tpugraph.data.synthetic import synthetic_align_task
+    from tpugraph.train.loop import fit
+    from tpugraph.train.mtl import fit_mtl
+
+    for sname in args.settings.split(","):
+        task = synthetic_align_task(
+            n_ent=5000, n_rel=60, n_triples=15000, seed=42,
+            drop_frac=0.1, noise_frac=0.1, **SETTINGS[sname],
+        )
+        for rname in args.recipes.split(","):
+            hp = dict(RECIPES[rname])
+            cfg = get_config("base", eval_every=0, **hp)
+            runner = fit_mtl if (cfg.use_sinkhorn or cfg.use_rel_head
+                                 or cfg.use_attr_head or cfg.use_attr_channel) else fit
+            t0 = time.time()
+            res = runner(cfg, task=task)
+            row = {"setting": sname, "recipe": rname,
+                   "s": round(time.time() - t0, 1),
+                   **{k: round(v, 4) for k, v in res.metrics.items()
+                      if k in ("hits@1", "hits@10", "mrr")}}
+            if args.oracle:
+                from tpugraph.parity.torch_ref import train_oracle
+
+                _, m = train_oracle(task, **hp)
+                row["oracle_hits@1"] = round(m["hits@1"], 4)
+                row["oracle_hits@10"] = round(m["hits@10"], 4)
+            print(json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()

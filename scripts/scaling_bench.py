@@ -70,16 +70,46 @@ def main():
         # steady-state: exclude the first (compile-laden) epoch via a 2nd run
         # of the same jitted step count if you need precision; for the ladder
         # ratio the constant compile offset mostly cancels at equal epochs.
-        nnz = 0
         from tpugraph.sparse.build import coo_from_triples
 
-        src, _, _ = coo_from_triples(task.n_ent, task.merged_triples, n_rel=task.n_rel)
+        src, dst, w = coo_from_triples(task.n_ent, task.merged_triples,
+                                       n_rel=task.n_rel)
         nnz = len(src)
         eps = nnz * 2 * args.epochs / wall
         results[s] = eps
+        # analytically-scaling quantities (VERDICT round-1 "Next" #8): the
+        # halo-exchange payload and the local/boundary edge split are what a
+        # real pod run must reproduce for the ≥80% efficiency target — they
+        # scale with the partition, not the device count, so the virtual
+        # ladder's numbers ARE the pod's numbers.
+        import numpy as np
+
+        from tpugraph.sparse.partition import partition_edges
+
+        part = partition_edges(np.asarray(src), np.asarray(dst), np.asarray(w),
+                               task.n_ent, n_shards=s) if s > 1 else None
+        if part is not None:
+            halo_real = int(np.asarray(part.send_mask).sum())
+            halo_pad = s * s * part.halo_b
+            # bytes shipped per layer pass (padded blocks are what the tiled
+            # all_to_all actually moves), one exchange per GCN layer fwd,
+            # one for its transpose in bwd
+            bpe = 2 if getattr(cfg, "dtype", "float32") == "bfloat16" else 4
+            halo_mb = halo_pad * args.dim * bpe / 1e6
+            bnd_frac = 1.0 - float(
+                (np.minimum(np.asarray(src) // part.n_loc, s - 1)
+                 == np.minimum(np.asarray(dst) // part.n_loc, s - 1)).mean())
+            extra = {"bnd_edge_frac": round(bnd_frac, 4),
+                     "halo_rows_real": halo_real,
+                     "halo_rows_padded": halo_pad,
+                     "halo_mb_per_layer_pass": round(halo_mb, 2)}
+        else:
+            extra = {"bnd_edge_frac": 0.0, "halo_rows_real": 0,
+                     "halo_rows_padded": 0, "halo_mb_per_layer_pass": 0.0}
         print(json.dumps({"shards": s, "edges_per_s": round(eps, 1),
                           "wall_s": round(wall, 2),
-                          "final_loss": round(res.metrics["final_loss"], 4)}), flush=True)
+                          "final_loss": round(res.metrics["final_loss"], 4),
+                          **extra}), flush=True)
 
     if 1 in results:
         base = results[1]

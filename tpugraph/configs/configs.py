@@ -38,7 +38,7 @@ class TrainConfig:
     hidden: int | None = None
     highway: bool = False
     dropout: float = 0.0
-    spmm_impl: str = "ell"  # 'ell' (scatter-free, fastest) | 'sorted' | 'xla' | 'pallas'
+    spmm_impl: str = "ell"  # 'ell' (scatter-free, fastest) | 'sorted' | 'xla' | 'pallas' (alias of 'ell'; DESIGN.md §3)
     l2_normalize: bool = False  # L2-normalize encoder output rows
     param_dtype: str = "float32"  # compute dtype: "bfloat16" = bf16 activations, fp32 params/accumulation
 

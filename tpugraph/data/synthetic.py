@@ -55,6 +55,8 @@ def synthetic_align_task(
     n_attr: int = 64,
     attrs_per_ent: int = 4,
     attr_noise: float = 0.1,
+    attr_coverage: float = 1.0,
+    alpha: float = 0.9,
     name: str | None = None,
 ) -> AlignTask:
     """Two noisy-isomorphic KGs + seed ILL alignments.
@@ -64,9 +66,22 @@ def synthetic_align_task(
     added.  Every KG1 entity i corresponds to KG2 entity perm[i]; alignment
     pairs are a sample of those correspondences, split train/test by
     ``train_ratio`` (the family's 30/70 convention).
+
+    Hardness knobs (round-2 de-artifacting, VERDICT.md round-1 "Next" #5 —
+    the v4→v7 recipe ladder is re-validated across these regimes in
+    scripts/hardness_sweep.py so recipe wins aren't generator artifacts):
+
+    * ``attr_noise``   — per-slot probability an entity's KG2 attribute is
+      re-rolled uniformly (0 = attributes are a perfect alignment oracle).
+    * ``attr_coverage`` — fraction of entities, sampled independently per
+      side, that have attribute triples at all (DBP15K attribute files cover
+      only part of each KG; planted attr signal then requires *both* sides
+      covered, so the usable-signal rate falls ≈ coverage²).
+    * ``alpha``        — Zipf exponent of head/tail entity popularity; higher
+      = more hub-dominated degree distribution (harder for CSLS/hubness).
     """
     rng = np.random.default_rng(seed)
-    t1 = _make_kg(rng, n_ent, n_rel, n_triples)
+    t1 = _make_kg(rng, n_ent, n_rel, n_triples, alpha=alpha)
 
     perm = rng.permutation(n_ent).astype(np.int32)
     t2 = t1.copy()
@@ -76,7 +91,7 @@ def synthetic_align_task(
     t2 = t2[keep]
     n_noise = int(noise_frac * len(t1))
     if n_noise:
-        noise = _make_kg(rng, n_ent, n_rel, n_noise)
+        noise = _make_kg(rng, n_ent, n_rel, n_noise, alpha=alpha)
         t2 = np.unique(np.concatenate([t2, noise], axis=0), axis=0)
 
     # correlated attribute triples: aligned entities share most attributes
@@ -88,6 +103,11 @@ def synthetic_align_task(
     a_ids2[flip] = rng.integers(0, n_attr, size=flip.sum())
     ents2 = perm[np.repeat(np.arange(n_ent, dtype=np.int32), attrs_per_ent)]
     attr2 = np.stack([ents2, a_ids2.reshape(-1).astype(np.int32)], axis=1)
+    if attr_coverage < 1.0:
+        cov1 = rng.random(n_ent) < attr_coverage  # indexed by KG1 entity id
+        cov2 = rng.random(n_ent) < attr_coverage  # indexed by KG2 entity id
+        attr1 = attr1[cov1[attr1[:, 0]]]
+        attr2 = attr2[cov2[attr2[:, 0]]]
 
     kg1 = KG(n_ent=n_ent, n_rel=n_rel, triples=t1, attr_triples=attr1, n_attr=n_attr)
     kg2 = KG(n_ent=n_ent, n_rel=n_rel, triples=t2, attr_triples=attr2, n_attr=n_attr)

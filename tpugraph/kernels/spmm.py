@@ -15,9 +15,11 @@ Cost model (SURVEY.md §6): O(nnz·d) flops, gather-bound; with edges sorted
 by destination the segment reduction is contiguous and the only random
 traffic is the per-edge source-row gather, which is intrinsic to SpMM.
 
-A Pallas fused kernel (tpugraph.kernels.spmm_pallas) can be swapped in via
-the ``impl`` argument of the nn layers; this module is the permanent
-fallback (SURVEY.md §7 hard part 3).
+Faster impls swap in via the ``impl`` argument of the nn layers (the ELL
+path, kernels/spmm_ell.py, is the production default); this module is the
+permanent fallback (SURVEY.md §7 hard part 3).  A Pallas SpMM was measured
+and rejected twice — estimates in round 1, a real fused GCN-layer kernel in
+round 2 (kernels/gcn_fused_pallas.py, docs/DESIGN.md §3 entry 4).
 """
 
 from __future__ import annotations

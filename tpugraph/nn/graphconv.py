@@ -22,11 +22,14 @@ def get_spmm_impl(name: str):
     """Impl registry.  The operator pytree type must match the impl:
     'sorted'/'xla' take a SpMMOperator (sorted padded edges), 'ell' takes an
     EllOperator (sparse/ell.py) — build_adjacency(fmt=...) produces the right
-    one."""
-    if name == "pallas":  # resolved lazily to avoid importing pallas off-TPU
-        from tpugraph.kernels.spmm_pallas import spmm_pallas
+    one.
 
-        return spmm_pallas
+    'pallas' is a config alias for 'ell': every Pallas SpMM formulation was
+    measured slower on this TPU, including the round-2 fused GCN-layer
+    kernel (kernels/gcn_fused_pallas.py) whose in-kernel DMA gather runs at
+    ~21M rows/s vs XLA's hardware gather at ~110M — docs/DESIGN.md §3."""
+    if name == "pallas":
+        return _IMPLS["ell"]
     return _IMPLS[name]
 
 
