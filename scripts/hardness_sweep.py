@@ -13,7 +13,12 @@ which recipe wins survive.  Oracle confirmation for the headline points via
 
 Results recorded in BASELINE.md ("hardness ladder" table).
 
-    JAX_PLATFORMS=cpu python scripts/hardness_sweep.py [--settings a,b]
+    python scripts/hardness_sweep.py [--settings a,b] [--platform cpu|tpu]
+
+Default platform is cpu via jax.config.update — NOT the env var: this
+environment's sitecustomize pins JAX_PLATFORMS=axon before user code runs
+(see tests/conftest.py gotcha), so ``JAX_PLATFORMS=cpu`` on the command line
+is silently ignored and runs go over the tunnel's per-compile RPCs.
 """
 
 import argparse
@@ -41,7 +46,15 @@ def main():
     ap.add_argument("--recipes", default="v4,v5,v6,v7")
     ap.add_argument("--oracle", action="store_true",
                     help="also run the torch-CPU parity oracle at each point")
+    ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
     args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     from tpugraph.configs import get_config
     from tpugraph.data.synthetic import synthetic_align_task
