@@ -83,14 +83,10 @@ def main():
                           **{k: round(v, 4) for k, v in m.items()}}), flush=True)
 
     from tpugraph.configs import get_config
+    from tpugraph.train.driver import run
 
     cfg = get_config("base", eval_every=100, **HP, **var)
-    if (cfg.use_sinkhorn or cfg.use_rel_head or cfg.use_attr_head
-            or cfg.use_attr_channel):  # heads run through the MTL trainer (driver.py)
-        from tpugraph.train.mtl import fit_mtl as fit
-    else:
-        from tpugraph.train.loop import fit
-    res = fit(cfg, task=task)
+    res = run(cfg, task=task)
     results["tpugraph"] = res.metrics
     print(json.dumps({"system": "tpugraph", "scale": args.scale,
                       **{k: round(v, 4) for k, v in res.metrics.items()}}), flush=True)

@@ -1,7 +1,14 @@
 """Bootstrap-recipe sweep on the pinned task (tpugraph side only — the
 oracle is only run to confirm the final winner via baseline_parity.py).
 
-    JAX_PLATFORMS=cpu python scripts/boot_sweep.py [--variants a,b,...]
+    python scripts/boot_sweep.py [--variants a,b,...]
+
+    NOTE: this image's sitecustomize pins JAX_PLATFORMS=axon before user
+    code runs, so a JAX_PLATFORMS=cpu env prefix is silently ignored and
+    runs go to the TPU chip via the tunnel (fine when the chip is free —
+    that is where round-1/2 sweep numbers were measured). To force the
+    CPU backend use jax.config.update('jax_platforms','cpu') as
+    scripts/hardness_sweep.py --platform cpu does.
 
 Prints one JSON line per variant.
 """

@@ -58,8 +58,7 @@ def main():
 
     from tpugraph.configs import get_config
     from tpugraph.data.synthetic import synthetic_align_task
-    from tpugraph.train.loop import fit
-    from tpugraph.train.mtl import fit_mtl
+    from tpugraph.train.driver import run
 
     for sname in args.settings.split(","):
         task = synthetic_align_task(
@@ -69,10 +68,8 @@ def main():
         for rname in args.recipes.split(","):
             hp = dict(RECIPES[rname])
             cfg = get_config("base", eval_every=0, **hp)
-            runner = fit_mtl if (cfg.use_sinkhorn or cfg.use_rel_head
-                                 or cfg.use_attr_head or cfg.use_attr_channel) else fit
             t0 = time.time()
-            res = runner(cfg, task=task)
+            res = run(cfg, task=task)
             row = {"setting": sname, "recipe": rname,
                    "s": round(time.time() - t0, 1),
                    **{k: round(v, 4) for k, v in res.metrics.items()

@@ -8,7 +8,14 @@ Hits@1) — but the margin gamma must be recalibrated for the normalized scale
 under l2_normalize on the pinned task, tpugraph side only; any winner gets
 oracle-confirmed via baseline_parity.py before adoption.
 
-    JAX_PLATFORMS=cpu python scripts/metric_sweep.py [--variants a,b,...]
+    python scripts/metric_sweep.py [--variants a,b,...]
+
+    NOTE: this image's sitecustomize pins JAX_PLATFORMS=axon before user
+    code runs, so a JAX_PLATFORMS=cpu env prefix is silently ignored and
+    runs go to the TPU chip via the tunnel (fine when the chip is free —
+    that is where round-1/2 sweep numbers were measured). To force the
+    CPU backend use jax.config.update('jax_platforms','cpu') as
+    scripts/hardness_sweep.py --platform cpu does.
 """
 
 import argparse

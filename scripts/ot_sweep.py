@@ -6,7 +6,14 @@ margin+bootstrap recipe (v4) move Hits@1?  All variants run through fit_mtl
 (use_sinkhorn=True) so the key schedule is identical; the control is
 sinkhorn_weight=0.0, which zeroes the OT gradient contribution.
 
-    JAX_PLATFORMS=cpu python scripts/ot_sweep.py [--variants a,b,...]
+    python scripts/ot_sweep.py [--variants a,b,...]
+
+    NOTE: this image's sitecustomize pins JAX_PLATFORMS=axon before user
+    code runs, so a JAX_PLATFORMS=cpu env prefix is silently ignored and
+    runs go to the TPU chip via the tunnel (fine when the chip is free —
+    that is where round-1/2 sweep numbers were measured). To force the
+    CPU backend use jax.config.update('jax_platforms','cpu') as
+    scripts/hardness_sweep.py --platform cpu does.
 
 Prints one JSON line per variant.
 """

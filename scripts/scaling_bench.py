@@ -57,6 +57,17 @@ def main():
         n_pairs=min(args.n_ent // 2, 15000), n_attr=0, attrs_per_ent=0,
     )
 
+    import numpy as np
+
+    from tpugraph.sparse.build import coo_from_triples
+    from tpugraph.sparse.partition import partition_edges
+
+    # one COO build for all rungs (the per-rung fit builds its own partition
+    # internally; the stats partition here is per shard count only)
+    src, dst, w = coo_from_triples(task.n_ent, task.merged_triples,
+                                   n_rel=task.n_rel)
+    nnz = len(src)
+
     results = {}
     for s in [int(x) for x in args.shards.split(",")]:
         cfg = get_config(
@@ -70,11 +81,6 @@ def main():
         # steady-state: exclude the first (compile-laden) epoch via a 2nd run
         # of the same jitted step count if you need precision; for the ladder
         # ratio the constant compile offset mostly cancels at equal epochs.
-        from tpugraph.sparse.build import coo_from_triples
-
-        src, dst, w = coo_from_triples(task.n_ent, task.merged_triples,
-                                       n_rel=task.n_rel)
-        nnz = len(src)
         eps = nnz * 2 * args.epochs / wall
         results[s] = eps
         # analytically-scaling quantities (VERDICT round-1 "Next" #8): the
@@ -82,10 +88,6 @@ def main():
         # real pod run must reproduce for the ≥80% efficiency target — they
         # scale with the partition, not the device count, so the virtual
         # ladder's numbers ARE the pod's numbers.
-        import numpy as np
-
-        from tpugraph.sparse.partition import partition_edges
-
         part = partition_edges(np.asarray(src), np.asarray(dst), np.asarray(w),
                                task.n_ent, n_shards=s) if s > 1 else None
         if part is not None:
@@ -94,7 +96,7 @@ def main():
             # bytes shipped per layer pass (padded blocks are what the tiled
             # all_to_all actually moves), one exchange per GCN layer fwd,
             # one for its transpose in bwd
-            bpe = 2 if getattr(cfg, "dtype", "float32") == "bfloat16" else 4
+            bpe = 2 if cfg.param_dtype == "bfloat16" else 4
             halo_mb = halo_pad * args.dim * bpe / 1e6
             bnd_frac = 1.0 - float(
                 (np.minimum(np.asarray(src) // part.n_loc, s - 1)

@@ -7,7 +7,14 @@ until Hits@1 reaches the target — by default the parity oracle's measured
 Hits@1 minus 1 point (BASELINE.md row).
 
     python scripts/time_to_accuracy.py                 # real chip, dbp5k task
-    JAX_PLATFORMS=cpu python scripts/time_to_accuracy.py --target 0.15
+    python scripts/time_to_accuracy.py --target 0.15
+
+    NOTE: this image's sitecustomize pins JAX_PLATFORMS=axon before user
+    code runs, so a JAX_PLATFORMS=cpu env prefix is silently ignored and
+    runs go to the TPU chip via the tunnel (fine when the chip is free —
+    that is where round-1/2 sweep numbers were measured). To force the
+    CPU backend use jax.config.update('jax_platforms','cpu') as
+    scripts/hardness_sweep.py --platform cpu does.
 
 Prints one JSON line.
 """

@@ -11,7 +11,14 @@ Sinkhorn OT w=3 τ=0.3 / CSLS-10 eval.  Levers never tried at the v6 point:
   * CSLS-corrected hard mining (rejected at v2 pressure; OT pressure differs)
   * highway gates, dropout, mining cadence, boot constants at dim 256
 
-    JAX_PLATFORMS=cpu python scripts/v7_sweep.py [--variants a,b,...]
+    python scripts/v7_sweep.py [--variants a,b,...]
+
+    NOTE: this image's sitecustomize pins JAX_PLATFORMS=axon before user
+    code runs, so a JAX_PLATFORMS=cpu env prefix is silently ignored and
+    runs go to the TPU chip via the tunnel (fine when the chip is free —
+    that is where round-1/2 sweep numbers were measured). To force the
+    CPU backend use jax.config.update('jax_platforms','cpu') as
+    scripts/hardness_sweep.py --platform cpu does.
 
 Prints one JSON line per variant.
 """

@@ -107,4 +107,4 @@ def test_ring_knn_csls_matches_blockwise():
         got = np.asarray(ring_knn(q, c, excl, 5, _mesh(), metric=metric,
                                   csls_k=7))
         np.testing.assert_array_equal(np.sort(got, axis=1),
-                                      np.sort(want, axis=1)), metric
+                                      np.sort(want, axis=1), err_msg=metric)

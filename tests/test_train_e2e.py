@@ -76,3 +76,18 @@ def test_interval_fusion_hard_mode_matches():
     r5 = fit(get_config("base", steps_per_call=5, **kw), task=task)
     np.testing.assert_allclose(np.asarray(r1.params["emb"]),
                                np.asarray(r5.params["emb"]), rtol=1e-5, atol=1e-6)
+
+
+def test_spmm_impl_pallas_alias_runs():
+    """'pallas' resolves to the ELL path at config level (DESIGN.md §3 entry
+    4); regression: before round 2 the alias returned the ELL impl but the
+    trainers still built a 'sorted' operator, crashing at the first layer."""
+    from tpugraph.configs import get_config
+
+    task = synthetic_align_task(seed=6, n_ent=120, n_rel=5, n_triples=500)
+    cfg = get_config("base", spmm_impl="pallas", dim=16, epochs=3,
+                     eval_every=0, k_neg=5, neg_every=5, pad_bucket=256,
+                     syn_n_ent=120)
+    assert cfg.spmm_impl == "ell"
+    res = fit(cfg, task=task)
+    assert np.isfinite(res.metrics["final_loss"])

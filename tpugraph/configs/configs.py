@@ -143,4 +143,9 @@ CONFIGS: dict[str, TrainConfig] = {
 
 
 def get_config(name: str, **overrides) -> TrainConfig:
-    return CONFIGS[name].replace(**overrides)
+    cfg = CONFIGS[name].replace(**overrides)
+    if cfg.spmm_impl == "pallas":
+        # alias, resolved here so every trainer's fmt dispatch sees 'ell'
+        # (docs/DESIGN.md §3 entry 4: every Pallas SpMM measured slower)
+        cfg = cfg.replace(spmm_impl="ell")
+    return cfg

@@ -165,7 +165,8 @@ def _ring_topk_body(q, cand, exclude_global, cand_offset0, k, axis: str,
         idxs = jnp.take_along_axis(alli, pos, axis=1)
         perm = _ring_perm(axis)
         cand = jax.lax.ppermute(cand, axis, perm=perm)
-        rb = jax.lax.ppermute(rb, axis, perm=perm)
+        if csls:  # the zeros placeholder needn't ride the ring
+            rb = jax.lax.ppermute(rb, axis, perm=perm)
         return vals, idxs, cand, rb
 
     vals = jax.lax.pvary(jnp.full((q.shape[0], k), jnp.inf, jnp.float32), (axis,))

@@ -291,15 +291,26 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
 
     tx = make_tx(cfg)
 
-    def _reshard_embed_like(t):
-        """Place emb-shaped optimizer moments on the emb sharding (they are
-        the big arrays; everything else in opt_state stays replicated)."""
-        emb_shape = params["emb"].shape
-        return jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, emb_sharding)
-            if hasattr(x, "shape") and x.shape == emb_shape else x, t)
+    # moments come out of zeros_like(params) and inherit the params'
+    # shardings directly — emb moments entity+feature sharded, GEMM-weight
+    # moments column-sharded; no replicate-then-reshard round trip
+    opt_state = tx.init(params)
 
-    opt_state = _reshard_embed_like(jax.device_put(tx.init(params), repl))
+    def _reshard_opt_like(t):
+        """Place restored optimizer-state leaves on this run's shardings
+        (the checkpoint may come from a different mesh shape): a fresh
+        tx.init provides the target placement leaf-by-leaf.  Only adopt
+        mesh (Named) shardings — scalar leaves like Adam's step count come
+        out of tx.init with an uncommitted single-device placement, and
+        committing a restored scalar to device 0 would conflict with the
+        replicated layout train_step expects."""
+        tmpl = tx.init(params)
+        return jax.tree_util.tree_map(
+            lambda x, m: jax.device_put(
+                x, m.sharding if (hasattr(m, "sharding")
+                                  and isinstance(m.sharding, NamedSharding))
+                else repl)
+            if hasattr(x, "shape") else x, t, tmpl)
 
     pairs = jax.device_put(jnp.asarray(task.train_pairs), repl)
     n1, n = task.kg1.n_ent, task.n_ent
@@ -490,8 +501,8 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
         # re-place everything on THIS run's mesh: the checkpoint may come
         # from a different shard count (Orbax restores global arrays)
         params = place_params(state["params"])
-        # opt_state contains a copy of emb-shaped moments: shard them too
-        opt_state = _reshard_embed_like(jax.device_put(state["opt_state"], repl))
+        # opt_state moments mirror param shapes: shard them identically
+        opt_state = _reshard_opt_like(state["opt_state"])
 
     base_key = jax.random.PRNGKey(cfg.seed)
 
