@@ -106,6 +106,12 @@ def main():
     results["boot_propose_ms"] = timed(lambda: boot(emb)) * 1e3
     results["eval_ms"] = timed(lambda: hits_at_k(emb, test_pairs), reps=2) * 1e3
     results["eval_csls_ms"] = timed(lambda: hits_at_k(emb, test_pairs, csls_k=10), reps=2) * 1e3
+    # the --fast history-eval path (MXU-prefiltered shortlist), incl. the
+    # round-2 CSLS-aware shortlist fix — what steps_per_call training uses
+    results["eval_approx_ms"] = timed(
+        lambda: hits_at_k(emb, test_pairs, approx_k=128), reps=2) * 1e3
+    results["eval_approx_csls_ms"] = timed(
+        lambda: hits_at_k(emb, test_pairs, approx_k=128, csls_k=10), reps=2) * 1e3
     for k, v in results.items():
         print(json.dumps({"phase": k, "ms": round(v, 2)}), flush=True)
 

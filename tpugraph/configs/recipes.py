@@ -11,6 +11,11 @@ via scripts/baseline_parity.py — measured rows in BASELINE.md):
     v5  v4 + Sinkhorn OT alignment NLL (w=3.0, τ=0.3, seed pairs)     +29
     v6  v5 at dim 256 (dim pays under OT pressure; 384/512 collapse)  +3.1
     v7  v6 + attribute-prediction MTL head (w=4.0) + 900 epochs       +28
+    v7r v7 at attr_weight=0.25 — the ROBUST default: the w=4.0 win is an
+        easy-regime artifact (hardness ladder, BASELINE.md 2026-08-21 —
+        w=4.0 REGRESSES vs v6 when attributes are noisy/sparse, while
+        w=0.25 is +7 at medium hardness and flat at hard).  Use v7 only
+        when attribute quality is known high; start real-data runs at v7r.
 
 Pair v3+ with eval_csls_k=10 (the CSLS ranking convention reported by the
 HGCN/RDGCN line).  Recipes with use_sinkhorn route through the MTL trainer
@@ -43,4 +48,9 @@ RECIPES: dict[str, dict] = {
                boot_cap=2500, boot_start=200, boot_weight=0.5, boot_csls_k=0,
                use_sinkhorn=True, sinkhorn_weight=3.0, sinkhorn_tau=0.3,
                use_attr_head=True, attr_weight=4.0),
+    "v7r": dict(dim=256, epochs=900, lr=2e-3, gamma=15.0, k_neg=100, neg_every=2,
+                neg_mode="hard", eval_csls_k=10,
+                boot_cap=2500, boot_start=200, boot_weight=0.5, boot_csls_k=0,
+                use_sinkhorn=True, sinkhorn_weight=3.0, sinkhorn_tau=0.3,
+                use_attr_head=True, attr_weight=0.25),
 }
