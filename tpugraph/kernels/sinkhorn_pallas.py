@@ -13,8 +13,15 @@ throughout (SURVEY.md §7 hard part 5).
 
 Grid: (q_blocks, c_blocks) with the c axis innermost; the accumulators live
 in VMEM scratch and are finalized on the last c-step.  Falls back to
-interpret mode off-TPU (tests), and the pure-XLA solver in
-kernels/sinkhorn.py remains the permanent fallback.
+interpret mode off-TPU (tests).
+
+Status (measured 2026-08-21, docs/DESIGN.md §4, scripts/sinkhorn_bench.py):
+correct and ~73% of f32 MXU peak after the round-2 transposed-layout fix,
+but the pure-XLA solver in kernels/sinkhorn.py is ~2× faster at the OT-head
+sizes the recipes use (cost ≤ 64 MB fits HBM; one cost build + bandwidth-
+bound logsumexp beats recomputing cost tiles every half-iteration) — so the
+XLA solver stays the production path and this kernel is the alternative for
+the cost-cannot-be-materialized single-chip regime (S ≳ 32k, d ≤ 128).
 """
 
 from __future__ import annotations
@@ -28,7 +35,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _f_update_kernel(l_ref, r_ref, g_ref, logm_ref, out_ref, m_scr, s_scr, *, tau, n_valid_c):
+def _f_update_kernel(l_ref, rt_ref, g_ref, logm_ref, out_ref, m_scr, s_scr, *, tau, n_valid_c):
+    """One (BQ, BC) cost tile folded into running (max, sumexp) accumulators.
+
+    The candidate side arrives PRE-TRANSPOSED as (d, BC) and the potentials
+    as a (1, BC) row: with an in-kernel ``r.T`` / ``g.reshape(1, -1)``
+    Mosaic materialized the relayouts instead of feeding the MXU — scoped
+    stack ≈ BQ·BC·d·2 bytes (65 MB at (256, 512, 256), VMEM-OOM) and
+    ~0.6 TFLOP/s; the transposed layout compiles to a canonical
+    (BQ,d)×(d,BC) MXU dot."""
     ci = pl.program_id(1)
     nc = pl.num_programs(1)
 
@@ -38,14 +53,14 @@ def _f_update_kernel(l_ref, r_ref, g_ref, logm_ref, out_ref, m_scr, s_scr, *, ta
         s_scr[:] = jnp.zeros_like(s_scr)
 
     l = l_ref[:]  # (BQ, d)
-    r = r_ref[:]  # (BC, d)
-    g = g_ref[:]  # (BC,) potentials for this candidate tile — as (BC, 1)? kept 2D below
+    rt = rt_ref[:]  # (d, BC)
+    g = g_ref[:]  # (1, BC) potentials for this candidate tile
     # cost tile on MXU
     l2 = jnp.sum(l * l, axis=1, keepdims=True)  # (BQ, 1)
-    r2 = jnp.sum(r * r, axis=1, keepdims=True).T  # (1, BC)
-    c = l2 + r2 - 2.0 * jnp.dot(l, r.T, preferred_element_type=jnp.float32)
+    r2 = jnp.sum(rt * rt, axis=0, keepdims=True)  # (1, BC)
+    c = l2 + r2 - 2.0 * jnp.dot(l, rt, preferred_element_type=jnp.float32)
     c = jnp.maximum(c, 0.0)
-    z = (g.reshape(1, -1) - c) / tau  # (BQ, BC)
+    z = (g - c) / tau  # (BQ, BC)
     # mask out padded candidate columns (global col index >= n_valid_c)
     bc = z.shape[1]
     col = ci * bc + jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
@@ -78,14 +93,20 @@ def sinkhorn_potential_update(
     block_c: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """One fused f-update. Returns (Q,) new query potentials."""
+    """One fused f-update. Returns (Q,) new query potentials.
+
+    Block sizes are auto-capped to the v5e VMEM budget: Mosaic's scoped
+    stack allocation for this kernel measures ≈ BQ·BC·d·2 bytes (bisected
+    on-chip 2026-08-21 — 65 MB at (256, 512, d=256) vs the 16 MB limit), so
+    BC shrinks until BQ·BC·d·2 ≤ 8.4 MB; (128, 128) compiles and runs at
+    d=256."""
     q, d = l.shape
     c = r.shape[0]
     q_pad = ((q + block_q - 1) // block_q) * block_q
     c_pad = ((c + block_c - 1) // block_c) * block_c
     lp = jnp.zeros((q_pad, d), jnp.float32).at[:q].set(l.astype(jnp.float32))
-    rp = jnp.zeros((c_pad, d), jnp.float32).at[:c].set(r.astype(jnp.float32))
-    gp = jnp.zeros((c_pad, 1), jnp.float32).at[:c, 0].set(g.astype(jnp.float32))
+    rtp = jnp.zeros((d, c_pad), jnp.float32).at[:, :c].set(r.astype(jnp.float32).T)
+    gp = jnp.zeros((1, c_pad), jnp.float32).at[0, :c].set(g.astype(jnp.float32))
     lmp = jnp.zeros((q_pad, 1), jnp.float32).at[:q, 0].set(log_mu.astype(jnp.float32))
 
     grid = (q_pad // block_q, c_pad // block_c)
@@ -94,8 +115,8 @@ def sinkhorn_potential_update(
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_q, d), lambda qi, ci: (qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_c, d), lambda qi, ci: (ci, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_c, 1), lambda qi, ci: (ci, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, block_c), lambda qi, ci: (0, ci), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_c), lambda qi, ci: (0, ci), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_q, 1), lambda qi, ci: (qi, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_q, 1), lambda qi, ci: (qi, 0), memory_space=pltpu.VMEM),
@@ -105,7 +126,7 @@ def sinkhorn_potential_update(
             pltpu.VMEM((block_q, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(lp, rp, gp, lmp)
+    )(lp, rtp, gp, lmp)
     return out[:q, 0]
 
 
