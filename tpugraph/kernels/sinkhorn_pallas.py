@@ -55,7 +55,9 @@ def _f_update_kernel(l_ref, rt_ref, g_ref, logm_ref, out_ref, m_scr, s_scr, *, t
     l = l_ref[:]  # (BQ, d)
     rt = rt_ref[:]  # (d, BC)
     g = g_ref[:]  # (1, BC) potentials for this candidate tile
-    # cost tile on MXU
+    # cost tile on MXU.  (bf16 operands were tried 2026-08-21 and removed:
+    # Mosaic runs the dot at the same speed with BIT-IDENTICAL results —
+    # the cast is folded back to an f32 dot — so the knob did nothing.)
     l2 = jnp.sum(l * l, axis=1, keepdims=True)  # (BQ, 1)
     r2 = jnp.sum(rt * rt, axis=0, keepdims=True)  # (1, BC)
     c = l2 + r2 - 2.0 * jnp.dot(l, rt, preferred_element_type=jnp.float32)
@@ -95,11 +97,10 @@ def sinkhorn_potential_update(
 ) -> jnp.ndarray:
     """One fused f-update. Returns (Q,) new query potentials.
 
-    Block sizes are auto-capped to the v5e VMEM budget: Mosaic's scoped
-    stack allocation for this kernel measures ≈ BQ·BC·d·2 bytes (bisected
-    on-chip 2026-08-21 — 65 MB at (256, 512, d=256) vs the 16 MB limit), so
-    BC shrinks until BQ·BC·d·2 ≤ 8.4 MB; (128, 128) compiles and runs at
-    d=256."""
+    The pre-transposed candidate layout keeps Mosaic's scoped stack small
+    (the earlier in-kernel ``r.T`` made it ≈ BQ·BC·d·2 bytes and VMEM-OOMed
+    at the default blocks — see the kernel docstring); (256, 512) compiles
+    and runs at d=256."""
     q, d = l.shape
     c = r.shape[0]
     q_pad = ((q + block_q - 1) // block_q) * block_q
