@@ -34,7 +34,15 @@ def _ranks_l1(
 
     With (cand_corr, true_corr) this computes CSLS-adjusted ranks: candidate
     j's score is 2·d(q,j) − cand_corr[j], compared against 2·d_true − true_corr
-    (the query-side hubness term cancels within a row)."""
+    (the query-side hubness term cancels within a row).
+
+    The true match (candidate i for query i — hits_at_k's position-aligned
+    convention) is excluded EXPLICITLY by index rather than by relying on
+    its score tying the threshold bit-for-bit: score and threshold are the
+    same quantity computed through different fusions, and XLA is free to
+    round them differently (observed on the CPU backend when this routine
+    is inlined into a larger jit — Hits@1 moved 0.38 from tie-flips alone).
+    """
     s, d = q.shape
     c = cands.shape[0]
     c_pad = ((c + block_c - 1) // block_c) * block_c
@@ -42,6 +50,7 @@ def _ranks_l1(
         [cands, jnp.full((c_pad - c, d), jnp.inf, dtype=cands.dtype)], axis=0
     )
     blocks = cands_p.reshape(c_pad // block_c, block_c, d)
+    offsets = jnp.arange(c_pad // block_c, dtype=jnp.int32) * block_c
     if cand_corr is None:
         thresh = d_true
         corr_blocks = jnp.zeros((c_pad // block_c, block_c), q.dtype)
@@ -51,13 +60,19 @@ def _ranks_l1(
         corr_p = jnp.concatenate([cand_corr, jnp.zeros(c_pad - c, cand_corr.dtype)])
         corr_blocks = corr_p.reshape(c_pad // block_c, block_c)
         scale = 2.0
+    row_ids = jnp.arange(s, dtype=jnp.int32)
 
     def body(acc, blk):
-        cb, corr = blk
+        cb, corr, off = blk
         dmat = scale * pairwise_l1(q[:, None, :], cb[None, :, :]) - corr[None, :]
-        return acc + jnp.sum(dmat < thresh[:, None], axis=1), None
+        gcol = off + jnp.arange(block_c, dtype=jnp.int32)
+        is_self = gcol[None, :] == row_ids[:, None]
+        below = jnp.where(is_self, False, dmat < thresh[:, None])
+        return acc + jnp.sum(below, axis=1), None
 
-    ranks, _ = jax.lax.scan(body, jnp.zeros(s, dtype=jnp.int32), (blocks, corr_blocks))
+    ranks, _ = jax.lax.scan(
+        body, jnp.zeros(s, dtype=jnp.int32), (blocks, corr_blocks, offsets)
+    )
     return ranks
 
 
@@ -107,9 +122,9 @@ def _ranks_l1_prefiltered(
     full-pool exact path costs S·C·d VPU ops (2.1 s at zh-en scale, d=256);
     this costs one S·C·d MXU matmul (~ms) + S·approx_k row gathers.
 
-    The true match is its own shortlist member or not — either way it scores
-    ``== score_true`` and the strict-less count excludes it, matching the
-    exact path's tie convention.
+    The true match (shortlist entry whose candidate id equals the query row,
+    position-aligned pairs) is excluded explicitly by index — see _ranks_l1:
+    relying on the bit-exact score tie is fragile under XLA refusion.
     """
     from tpugraph.train.negatives import _knn_query_blocked_approx
 
@@ -132,7 +147,9 @@ def _ranks_l1_prefiltered(
         thresh = 2.0 * d_true - cand_corr
     else:
         score, thresh = d_short, d_true
-    return jnp.sum(score < thresh[:, None], axis=1).astype(jnp.int32)
+    is_self = short == jnp.arange(s, dtype=short.dtype)[:, None]
+    below = jnp.where(is_self, False, score < thresh[:, None])
+    return jnp.sum(below, axis=1).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -149,30 +166,19 @@ def _knn_mean_l1_approx(q_pool: jnp.ndarray, cands: jnp.ndarray, k: int):
     return pairwise_l1(cands[:, None, :], qk).astype(jnp.float32).mean(axis=1)
 
 
-def hits_at_k(
+@partial(jax.jit, static_argnames=("block_c", "csls_k", "approx_k"))
+def _both_direction_ranks(
     emb: jnp.ndarray,
     test_pairs: jnp.ndarray,
-    ks: tuple[int, ...] = (1, 10),
     block_c: int = 1024,
     csls_k: int = 0,
     approx_k: int = 0,
-) -> dict[str, float]:
-    """Both-direction Hits@k and MRR over the test alignment pairs.
-
-    Candidate pool convention (family): the test-set entities of the opposite
-    KG.  ``csls_k > 0`` applies the CSLS hubness correction (Conneau et al.;
-    standard in the HGCN/RDGCN reporting convention): score(q, j) =
-    2·d(q, j) − mean_{k-NN}(d(·, j)).  Returns python floats (device→host
-    readback happens here only).
-
-    ``approx_k > 0`` switches to the MXU-prefiltered path
-    (``_ranks_l1_prefiltered``): ranks are counted within a top-``approx_k``
-    shortlist instead of the full pool — ~20–40× faster at zh-en scale,
-    approximate (enforced tracking tolerance: 0.02 Hits@1/@10/MRR vs exact,
-    incl. the CSLS branch — tests/test_eval_approx.py; raw-L1 deltas measured
-    ≲1e-3).  Training-loop history evals use it behind
-    ``TrainConfig.eval_approx_k``; FINAL reported metrics stay exact.
-    """
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(ranks_l2r, ranks_r2l) in ONE jitted computation — a single dispatch
+    + a single device→host readback per eval.  The unfused composition paid
+    ~10 sequential dispatches/syncs per eval, which on a remote-dispatch
+    platform floors every eval at the round-trip latency (~240 ms measured
+    on the axon tunnel, docs/DESIGN.md §6b) regardless of compute."""
     l = jnp.take(emb, test_pairs[:, 0], axis=0)
     r = jnp.take(emb, test_pairs[:, 1], axis=0)
     d_true = pairwise_l1(l, r).astype(jnp.float32)
@@ -187,21 +193,57 @@ def hits_at_k(
         else:
             corr["l"] = _knn_mean_l1(l, r, csls_k, block_c)  # hubness of left wrt right pool
             corr["r"] = _knn_mean_l1(r, l, csls_k, block_c)
-    out = {}
+    ranks = []
     for tag, q, cands in (("l2r", l, r), ("r2l", r, l)):
         cand_corr = (corr["r"] if tag == "l2r" else corr["l"]) if csls_k > 0 else None
         if approx_k > 0:
-            ranks = _ranks_l1_prefiltered(q, cands, d_true,
-                                          min(approx_k, cands.shape[0]),
-                                          cand_corr=cand_corr, csls_k=csls_k)
+            ranks.append(_ranks_l1_prefiltered(
+                q, cands, d_true, min(approx_k, cands.shape[0]),
+                cand_corr=cand_corr, csls_k=csls_k))
         elif csls_k > 0:
-            ranks = _ranks_l1(q, cands, d_true, block_c=block_c,
-                              cand_corr=cand_corr, true_corr=cand_corr)
+            ranks.append(_ranks_l1(q, cands, d_true, block_c=block_c,
+                                   cand_corr=cand_corr, true_corr=cand_corr))
         else:
-            ranks = _ranks_l1(q, cands, d_true, block_c=block_c)
+            ranks.append(_ranks_l1(q, cands, d_true, block_c=block_c))
+    return ranks[0], ranks[1]
+
+
+def hits_at_k(
+    emb: jnp.ndarray,
+    test_pairs: jnp.ndarray,
+    ks: tuple[int, ...] = (1, 10),
+    block_c: int = 1024,
+    csls_k: int = 0,
+    approx_k: int = 0,
+) -> dict[str, float]:
+    """Both-direction Hits@k and MRR over the test alignment pairs.
+
+    Candidate pool convention (family): the test-set entities of the opposite
+    KG.  ``csls_k > 0`` applies the CSLS hubness correction (Conneau et al.;
+    standard in the HGCN/RDGCN reporting convention): score(q, j) =
+    2·d(q, j) − mean_{k-NN}(d(·, j)).  All device work happens in ONE jitted
+    call (``_both_direction_ranks``); metrics are computed host-side from
+    the two rank vectors, so each eval costs one dispatch + one readback.
+
+    ``approx_k > 0`` switches to the MXU-prefiltered path
+    (``_ranks_l1_prefiltered``): ranks are counted within a top-``approx_k``
+    shortlist instead of the full pool — ~20–40× less compute at zh-en
+    scale, approximate (enforced tracking tolerance: 0.02 Hits@1/@10/MRR vs
+    exact, incl. the CSLS branch — tests/test_eval_approx.py; raw-L1 deltas
+    measured ≲1e-3).  Training-loop history evals use it behind
+    ``TrainConfig.eval_approx_k``; FINAL reported metrics stay exact.
+    """
+    import numpy as np
+
+    rl, rr = _both_direction_ranks(emb, jnp.asarray(test_pairs),
+                                   block_c=block_c, csls_k=csls_k,
+                                   approx_k=approx_k)
+    both = np.asarray(jnp.stack([rl, rr]))  # single readback
+    out = {}
+    for tag, ranks in (("l2r", both[0]), ("r2l", both[1])):
         for k in ks:
-            out[f"hits@{k}_{tag}"] = float(jnp.mean(ranks < k))
-        out[f"mrr_{tag}"] = float(jnp.mean(1.0 / (ranks.astype(jnp.float32) + 1.0)))
+            out[f"hits@{k}_{tag}"] = float((ranks < k).mean())
+        out[f"mrr_{tag}"] = float((1.0 / (ranks.astype(np.float64) + 1.0)).mean())
     for k in ks:
         out[f"hits@{k}"] = 0.5 * (out[f"hits@{k}_l2r"] + out[f"hits@{k}_r2l"])
     out["mrr"] = 0.5 * (out["mrr_l2r"] + out["mrr_r2l"])
