@@ -47,6 +47,12 @@ def main():
     ap.add_argument("--oracle", action="store_true",
                     help="also run the torch-CPU parity oracle at each point")
     ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
+    ap.add_argument("--small", action="store_true",
+                    help="shrunk pinned task (1500 ents/side, half epochs, "
+                         "boot_cap scaled) so a torch-oracle run fits the "
+                         "2-core host — the round-3 two-sided confirmation "
+                         "of the hardness-ladder conclusions (VERDICT r2 "
+                         "Next #2); hardness knobs identical to the full task")
     args = ap.parse_args()
 
     import jax
@@ -62,11 +68,20 @@ def main():
 
     for sname in args.settings.split(","):
         task = synthetic_align_task(
-            n_ent=5000, n_rel=60, n_triples=15000, seed=42,
+            n_ent=1500 if args.small else 5000, n_rel=60,
+            n_triples=4500 if args.small else 15000, seed=42,
             drop_frac=0.1, noise_frac=0.1, **SETTINGS[sname],
         )
         for rname in args.recipes.split(","):
             hp = dict(RECIPES[rname])
+            if args.small:
+                # scale the schedule with the task: half the epochs, boot
+                # capacity at the same fraction of the entity pool (2500/5000
+                # → 750/1500), earlier boot start; everything else identical
+                hp["epochs"] = hp["epochs"] // 2
+                if hp.get("boot_cap"):
+                    hp["boot_cap"] = hp["boot_cap"] * 1500 // 5000
+                    hp["boot_start"] = hp["boot_start"] // 2
             cfg = get_config("base", eval_every=0, **hp)
             t0 = time.time()
             res = run(cfg, task=task)
@@ -74,12 +89,16 @@ def main():
                    "s": round(time.time() - t0, 1),
                    **{k: round(v, 4) for k, v in res.metrics.items()
                       if k in ("hits@1", "hits@10", "mrr")}}
+            if args.small:
+                row["task"] = "small"
             if args.oracle:
                 from tpugraph.parity.torch_ref import train_oracle
 
+                t1 = time.time()
                 _, m = train_oracle(task, **hp)
                 row["oracle_hits@1"] = round(m["hits@1"], 4)
                 row["oracle_hits@10"] = round(m["hits@10"], 4)
+                row["oracle_s"] = round(time.time() - t1, 1)
             print(json.dumps(row), flush=True)
 
 

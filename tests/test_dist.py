@@ -448,6 +448,34 @@ def test_fit_distributed_l2_normalize_tp():
                                np.asarray(r42.params["emb"]), rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.parametrize("impl,extras", [
+    ("ell", False), ("sorted", False), ("ell", True),
+])
+def test_fit_distributed_slice_feature_cross(impl, extras):
+    """The round-2 driver dryrun failure (VERDICT.md weak #1) was exactly the
+    untested cross-term: slice_shards>1 TOGETHER WITH feature_shards>1 on the
+    3-D ('slice','graph','feature') mesh, where the spmm custom-VJP cotangent
+    could come back with fewer varying axes than the primal (fixed by the
+    x-token VMA pin in kernels/spmm_ell.py / spmm.py).  Pin it for BOTH spmm
+    impls: 2×2×2 must reproduce the unsharded run.  ``extras`` adds the
+    highway gates + l2-normalize (the feature-psum transpose path)."""
+    from tpugraph.configs import get_config
+    from tpugraph.data.synthetic import synthetic_align_task
+    from tpugraph.dist.trainer import fit_distributed
+
+    task = synthetic_align_task(seed=21, n_ent=120, n_rel=5, n_triples=500)
+    kw = dict(dim=16, epochs=6, eval_every=6, k_neg=5, neg_every=3,
+              neg_mode="uniform", syn_n_ent=120, spmm_impl=impl,
+              highway=extras, l2_normalize=extras)
+    r1 = fit_distributed(get_config("base", n_shards=1, **kw), task=task)
+    r222 = fit_distributed(get_config("base", n_shards=2, slice_shards=2,
+                                      feature_shards=2, **kw), task=task)
+    assert r1.history[-1]["loss"] == pytest.approx(r222.history[-1]["loss"], rel=1e-3)
+    np.testing.assert_allclose(np.asarray(r1.params["emb"]),
+                               np.asarray(r222.params["emb"]),
+                               rtol=2e-3, atol=2e-4)
+
+
 def test_fit_distributed_hard_negatives_ring_csls():
     """CSLS hard mining at n_shards>1 now runs the ring hubness pass (no
     GSPMD quadratic fallback); N=8 ≡ N=1 on the training trajectory."""

