@@ -30,7 +30,7 @@ from tpugraph.sparse.partition import HaloGraph, partition_edges
 from tpugraph.sparse.build import coo_from_triples, coo_normalize
 from tpugraph.sparse.graph import AlignTask
 from tpugraph.train.eval import hits_at_k
-from tpugraph.train.loop import TrainResult, load_task
+from tpugraph.train.loop import TrainResult, eager_cond, load_task, traced_cond
 from tpugraph.train.losses import margin_align_loss
 from tpugraph.train.metrics import MetricsLogger
 from tpugraph.train.negatives import sample_hard_negatives, sample_uniform_negatives
@@ -297,15 +297,17 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
     # moments column-sharded; no replicate-then-reshard round trip
     opt_state = tx.init(params)
 
-    def _reshard_opt_like(t):
+    def _reshard_opt_like(t, tmpl):
         """Place restored optimizer-state leaves on this run's shardings
-        (the checkpoint may come from a different mesh shape): a fresh
-        tx.init provides the target placement leaf-by-leaf.  Only adopt
-        mesh (Named) shardings — scalar leaves like Adam's step count come
-        out of tx.init with an uncommitted single-device placement, and
-        committing a restored scalar to device 0 would conflict with the
-        replicated layout train_step expects."""
-        tmpl = tx.init(params)
+        (the checkpoint may come from a different mesh shape): the fresh
+        pre-restore ``tx.init`` state provides the target placement
+        leaf-by-leaf — reused rather than re-initialized, so restore does
+        not transiently materialize a second set of embedding-sized Adam
+        moments (ADVICE r2 item 4).  Only adopt mesh (Named) shardings —
+        scalar leaves like Adam's step count come out of tx.init with an
+        uncommitted single-device placement, and committing a restored
+        scalar to device 0 would conflict with the replicated layout
+        train_step expects."""
         return jax.tree_util.tree_map(
             lambda x, m: jax.device_put(
                 x, m.sharding if (hasattr(m, "sharding")
@@ -503,26 +505,37 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
         # from a different shard count (Orbax restores global arrays)
         params = place_params(state["params"])
         # opt_state moments mirror param shapes: shard them identically
-        opt_state = _reshard_opt_like(state["opt_state"])
+        opt_state = _reshard_opt_like(state["opt_state"], opt_state)
 
     base_key = jax.random.PRNGKey(cfg.seed)
 
-    def make_batch(epoch):
-        """Epoch-keyed batch: same on every host (SURVEY.md §7 hard part 6)."""
+    def interval_batch(epoch, p, cond):
+        """The per-interval batch (boot-augmented pairs + negatives + MTL
+        head batches) — ONE construction shared by both dispatch modes
+        (VERDICT r2 Next #5; the two copies had already diverged on
+        dropout-key handling).  ``cond(pred, then, orelse)`` abstracts the
+        control-flow style: a Python if for the eager path (epoch is an
+        int) vs lax.cond for the fused path (epoch is traced).  Keys fold
+        the interval-aligned epoch, so a mid-interval resume regenerates
+        the identical batch (bit-exact resume); same on every host
+        (SURVEY.md §7 hard part 6)."""
         bk = jax.random.fold_in(base_key, epoch - epoch % cfg.neg_every)
         ks = jax.random.split(bk, 3)
         if use_boot:
-            if epoch >= cfg.boot_start and epoch > 0:
-                bp, bw = propose_boot_jit(params)
-            else:
-                bp, bw = boot_placeholder
+            bp, bw = cond((epoch >= cfg.boot_start) & (epoch > 0),
+                          lambda: propose_boot_jit(p), lambda: boot_placeholder)
             pairs_t, w = with_boot(bp, bw)
         else:
             pairs_t, w = pairs, None
-        if cfg.neg_mode == "hard" and epoch > 0:
-            neg_l, neg_r = resample_hard(params, pairs_t)
+
+        def negs_uniform():
+            return sample_uniform_negatives(ks[0], pairs_t, n1, n, cfg.k_neg)
+
+        if cfg.neg_mode == "hard":
+            neg_l, neg_r = cond(epoch > 0,
+                                lambda: resample_hard(p, pairs_t), negs_uniform)
         else:
-            neg_l, neg_r = sample_uniform_negatives(ks[0], pairs_t, n1, n, cfg.k_neg)
+            neg_l, neg_r = negs_uniform()
         batch = {"pairs": pairs_t, "w": w, "neg_l": neg_l, "neg_r": neg_r}
         if cfg.use_rel_head:
             kt, kh = jax.random.split(ks[1])
@@ -535,6 +548,9 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
             batch["attr_triples"] = jnp.take(attr_triples, idx, axis=0)
         return shard_slice(batch)
 
+    def make_batch(epoch):
+        return interval_batch(epoch, params, eager_cond)
+
     steps = max(1, cfg.steps_per_call)
     if steps > 1 and steps != cfg.neg_every:
         raise ValueError("steps_per_call > 1 requires steps_per_call == neg_every")
@@ -544,37 +560,7 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
         """Fused resample + neg_every steps (see train/loop.py rationale).
         NOTE: dist checkpoints hold only params/opt_state, so resume is exact
         at interval boundaries (which is where fused chunks always land)."""
-        bk = jax.random.fold_in(base_key, epoch0)
-        ks = jax.random.split(bk, 3)
-
-        if use_boot:
-            bp, bw = jax.lax.cond(
-                (epoch0 >= cfg.boot_start) & (epoch0 > 0),
-                lambda _: propose_boot(params), lambda _: boot_placeholder, None)
-            pairs_t, w = with_boot(bp, bw)
-        else:
-            pairs_t, w = pairs, None
-
-        def negs_uniform(_):
-            return sample_uniform_negatives(ks[0], pairs_t, n1, n, cfg.k_neg)
-
-        if cfg.neg_mode == "hard":
-            neg_l, neg_r = jax.lax.cond(
-                epoch0 > 0, lambda _: resample_hard(params, pairs_t), negs_uniform, None
-            )
-        else:
-            neg_l, neg_r = negs_uniform(None)
-        batch = {"pairs": pairs_t, "w": w, "neg_l": neg_l, "neg_r": neg_r}
-        if cfg.use_rel_head:
-            kt, kh = jax.random.split(ks[1])
-            t = rel_triples.shape[0]
-            batch["rel_neg_t"] = jax.random.randint(kt, (t, cfg.rel_k_neg), 0, n, dtype=jnp.int32)
-            batch["rel_neg_h"] = jax.random.randint(kh, (t, cfg.rel_k_neg), 0, n, dtype=jnp.int32)
-        if cfg.use_attr_head:
-            bs = min(8192, attr_triples.shape[0])
-            idx = jax.random.randint(ks[2], (bs,), 0, attr_triples.shape[0], dtype=jnp.int32)
-            batch["attr_triples"] = jnp.take(attr_triples, idx, axis=0)
-        batch = shard_slice(batch)
+        batch = interval_batch(epoch0, params, traced_cond)
 
         def body(carry, e):
             params, opt_state = carry

@@ -127,7 +127,7 @@ def fused_bucket_apply(idx: jax.Array, w: jax.Array, x: jax.Array,
         in_specs=[
             pl.BlockSpec((tr, k), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((tr, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((d_in, d_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tr, d_out), lambda i: (i, 0),

@@ -45,6 +45,10 @@ def _ranks_l1(
     """
     s, d = q.shape
     c = cands.shape[0]
+    # the explicit true-match exclusion below hard-codes the position-aligned
+    # convention (candidate i IS query i's true match); fail loudly if a
+    # future caller passes a non-aligned pool (ADVICE r2 item 2)
+    assert s == c, f"_ranks_l1 requires position-aligned pools, got S={s} C={c}"
     c_pad = ((c + block_c - 1) // block_c) * block_c
     cands_p = jnp.concatenate(
         [cands, jnp.full((c_pad - c, d), jnp.inf, dtype=cands.dtype)], axis=0
@@ -129,6 +133,11 @@ def _ranks_l1_prefiltered(
     from tpugraph.train.negatives import _knn_query_blocked_approx
 
     s = q.shape[0]
+    # position-aligned convention as in _ranks_l1 (is_self below) — see the
+    # assert rationale there
+    assert s == cands.shape[0], (
+        f"_ranks_l1_prefiltered requires position-aligned pools, "
+        f"got S={s} C={cands.shape[0]}")
     no_excl = jnp.full((s,), -1, jnp.int32)
     # shortlist by the SAME score family being ranked: with CSLS the selection
     # runs on 2·d_sq − r_sq(j) (sqeuclidean hubness, MXU) so candidates that

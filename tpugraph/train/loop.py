@@ -28,6 +28,19 @@ from tpugraph.train.metrics import MetricsLogger
 from tpugraph.train.negatives import sample_hard_negatives, sample_uniform_negatives
 
 
+def eager_cond(pred, then, orelse):
+    """Python-if control-flow style for the interval builders shared between
+    the eager and fused dispatch paths (VERDICT r2 Next #5: one batch
+    construction, two control-flow styles — see ``interval_negs`` here and
+    ``interval_batch`` in dist/trainer.py)."""
+    return then() if pred else orelse()
+
+
+def traced_cond(pred, then, orelse):
+    """lax.cond counterpart of ``eager_cond`` for traced epoch arguments."""
+    return jax.lax.cond(pred, lambda _: then(), lambda _: orelse(), None)
+
+
 @dataclass
 class TrainResult:
     params: Any
@@ -163,37 +176,43 @@ def fit(
         raise ValueError("profile_dir requires steps_per_call=1 (per-epoch trace windows)")
 
     @jax.jit
+    def resample_hard(params, pairs_t):
+        emb = model.apply({"params": params}, op)
+        return sample_hard_negatives(emb, pairs_t, n1, n, cfg.k_neg, metric=cfg.neg_metric,
+                                     approx=cfg.neg_approx, csls_k=cfg.neg_csls_k)
+
+    def interval_negs(epoch, p, cond):
+        """Boot proposal + negative (re)sampling for the interval starting at
+        ``epoch`` — ONE construction shared by the eager and fused dispatch
+        modes (``cond`` = eager_cond / traced_cond).  The uniform key folds
+        the interval-aligned epoch so a resume mid-interval reproduces the
+        same negatives.  Returns (pairs_t, weights, neg_l, neg_r, boot)."""
+        if use_boot:
+            boot = cond((epoch >= cfg.boot_start) & (epoch > 0),
+                        lambda: propose_jit(p), lambda: boot_placeholder)
+            pairs_t, weights = with_boot(*boot)
+        else:
+            boot = None
+            pairs_t, weights = pairs, None
+
+        def uni_negs():
+            nk = jax.random.fold_in(base_key, epoch - epoch % cfg.neg_every)
+            return sample_uniform_negatives(nk, pairs_t, n1, n, cfg.k_neg)
+
+        if cfg.neg_mode == "hard":
+            neg_l, neg_r = cond(epoch > 0, lambda: resample_hard(p, pairs_t), uni_negs)
+        else:
+            neg_l, neg_r = uni_negs()
+        return pairs_t, weights, neg_l, neg_r, boot
+
+    @jax.jit
     def train_interval(params, opt_state, epoch0):
         """One resample interval — negative (re)sampling + neg_every train
         steps — fused into a single dispatch (lax.scan): per-dispatch tunnel
         latency (~0.4 s here) otherwise dominates the ~40 ms/epoch compute
         at DBP15K scale.  Semantics identical to the unfused path (bitwise
         test in tests/test_train_e2e.py)."""
-
-        if use_boot:
-            bp, bw = jax.lax.cond(
-                (epoch0 >= cfg.boot_start) & (epoch0 > 0),
-                lambda _: propose(params), lambda _: boot_placeholder, None)
-            pairs_t, weights = with_boot(bp, bw)
-        else:
-            pairs_t, weights = pairs, None
-
-        def uni_negs(_):
-            return sample_uniform_negatives(
-                jax.random.fold_in(base_key, epoch0), pairs_t, n1, n, cfg.k_neg
-            )
-
-        if cfg.neg_mode == "hard":
-            def hard_negs(_):
-                emb = model.apply({"params": params}, op)
-                return sample_hard_negatives(emb, pairs_t, n1, n, cfg.k_neg,
-                                             metric=cfg.neg_metric,
-                                             approx=cfg.neg_approx,
-                                             csls_k=cfg.neg_csls_k)
-
-            neg_l, neg_r = jax.lax.cond(epoch0 > 0, hard_negs, uni_negs, None)
-        else:
-            neg_l, neg_r = uni_negs(None)
+        pairs_t, weights, neg_l, neg_r, _ = interval_negs(epoch0, params, traced_cond)
 
         def body(carry, i):
             params, opt_state = carry
@@ -209,12 +228,6 @@ def fit(
         )
         last_aux = jax.tree_util.tree_map(lambda a: a[-1], auxs)
         return params, opt_state, losses[-1], last_aux
-
-    @jax.jit
-    def resample_hard(params, pairs_t):
-        emb = model.apply({"params": params}, op)
-        return sample_hard_negatives(emb, pairs_t, n1, n, cfg.k_neg, metric=cfg.neg_metric,
-                                     approx=cfg.neg_approx, csls_k=cfg.neg_csls_k)
 
     @jax.jit
     def embed(params):
@@ -267,19 +280,10 @@ def fit(
         if steps == 1 and (epoch % cfg.neg_every == 0 or neg_l is None):
             # keys derived from (seed, epoch): deterministic across restarts
             # and identical on every host (SURVEY.md §7 hard part 6)
+            pairs_t, weights, neg_l, neg_r, boot = interval_negs(
+                epoch, params, eager_cond)
             if use_boot:
-                if epoch >= cfg.boot_start and epoch > 0:
-                    cur_boot = propose_jit(params)
-                else:
-                    cur_boot = boot_placeholder
-                pairs_t, weights = with_boot(*cur_boot)
-            if cfg.neg_mode == "hard" and epoch > 0:
-                neg_l, neg_r = resample_hard(params, pairs_t)
-            else:
-                # key pinned to the interval's boundary epoch so a resume
-                # mid-interval reproduces the same negatives
-                nk = jax.random.fold_in(base_key, epoch - epoch % cfg.neg_every)
-                neg_l, neg_r = sample_uniform_negatives(nk, pairs_t, n1, n, cfg.k_neg)
+                cur_boot = boot
         if cfg.profile_dir and epoch == start_epoch + 2:
             jax.profiler.start_trace(cfg.profile_dir)
         if steps > 1:
