@@ -18,7 +18,7 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_halo_spmm():
+def _spawn_workers(extra_args, timeout=150):
     port = _free_port()
     coord = f"127.0.0.1:{port}"
     env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS",)}
@@ -26,7 +26,8 @@ def test_two_process_halo_spmm():
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
-            [sys.executable, "-m", "tpugraph.dist.mp_worker", coord, "2", str(i)],
+            [sys.executable, "-m", "tpugraph.dist.mp_worker", coord, "2", str(i),
+             *extra_args],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, cwd=repo,
         )
         for i in range(2)
@@ -34,7 +35,7 @@ def test_two_process_halo_spmm():
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=150)
+            out, _ = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -42,4 +43,38 @@ def test_two_process_halo_spmm():
         outs.append(out.decode())
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-2000:]}"
+    return outs
+
+
+def test_two_process_halo_spmm():
+    outs = _spawn_workers([])
+    for out in outs:
         assert "MP_OK" in out
+
+
+def test_two_process_fit_distributed(tmp_path):
+    """The FULL distributed trainer under jax.distributed across 2 localhost
+    processes (VERDICT r2 Next #4): halo encoder, ring eval, Orbax
+    checkpoint save AND restore-continue, all spanning the process boundary
+    — final losses must reproduce the single-process 8-device run."""
+    import re
+
+    from tpugraph.dist.mp_worker import fit_rehearsal_config, fit_rehearsal_task
+    from tpugraph.dist.trainer import fit_distributed
+
+    # single-process reference: same config/task builders the workers use
+    ref_dir = str(tmp_path / "ref_ckpt")
+    task = fit_rehearsal_task()
+    r4 = fit_distributed(fit_rehearsal_config(8, ref_dir), task=task)
+    r6 = fit_distributed(fit_rehearsal_config(8, ref_dir, epochs=6), task=task)
+
+    outs = _spawn_workers(["fit", str(tmp_path / "mp_ckpt")], timeout=420)
+    for out in outs:
+        m = re.search(r"MP_FIT_OK proc=\d+ loss4=([-\d.]+) hits4=([-\d.]+) "
+                      r"loss6=([-\d.]+) hits6=([-\d.]+)", out)
+        assert m, f"no MP_FIT_OK line:\n{out[-2000:]}"
+        loss4, hits4, loss6, hits6 = map(float, m.groups())
+        assert loss4 == pytest.approx(r4.metrics["final_loss"], rel=1e-3)
+        assert hits4 == pytest.approx(r4.metrics["hits@1"], abs=0.02)
+        assert loss6 == pytest.approx(r6.metrics["final_loss"], rel=1e-3)
+        assert hits6 == pytest.approx(r6.metrics["hits@1"], abs=0.02)

@@ -90,10 +90,17 @@ def ring_hits_at_k(
     out = {}
     with mesh:
         for tag, q, cand in (("l2r", l, r), ("r2l", r, l)):
-            ranks = np.asarray(ranks_fn(q, cand, d_true))[:n]
+            ranks = ranks_fn(q, cand, d_true)
+            # reduce to replicated scalars ON DEVICE: the sharded rank vector
+            # spans non-addressable devices under multi-process
+            # jax.distributed, so a host fetch of it would fail (caught by
+            # the 2-process fit_distributed rehearsal, round 3)
+            valid = jnp.arange(ranks.shape[0]) < n
             for k in ks:
-                out[f"hits@{k}_{tag}"] = float(np.mean(ranks < k))
-            out[f"mrr_{tag}"] = float(np.mean(1.0 / (ranks.astype(np.float64) + 1.0)))
+                out[f"hits@{k}_{tag}"] = float(
+                    jnp.sum(jnp.where(valid, ranks < k, False)) / n)
+            out[f"mrr_{tag}"] = float(
+                jnp.sum(jnp.where(valid, 1.0 / (ranks.astype(jnp.float64) + 1.0), 0.0)) / n)
     for k in ks:
         out[f"hits@{k}"] = 0.5 * (out[f"hits@{k}_l2r"] + out[f"hits@{k}_r2l"])
     out["mrr"] = 0.5 * (out["mrr_l2r"] + out["mrr_r2l"])

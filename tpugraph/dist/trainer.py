@@ -411,28 +411,39 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
             return jax.lax.with_sharding_constraint(
                 m.astype(jnp.float32) / keep, mask_sharding)
 
-    def encode_se_ae(p, mask=None):
+    # jitted functions must take the cross-process-sharded constants (the
+    # halo operator, the attr incidence, the P('graph')-sharded eval dropout
+    # mask) as ARGUMENTS: closing over a jax.Array that spans non-addressable
+    # devices is an error under multi-process jax.distributed (caught by the
+    # 2-process fit_distributed rehearsal, round 3).  Fully-replicated
+    # constants (pairs, rel/attr triples, boot masks) may stay closed over —
+    # their value is locally addressable on every process.
+    enc_consts = {"halo": halo, "attr": attr_args}
+    if use_dropout:
+        enc_consts["eval_mask"] = eval_mask
+
+    def encode_se_ae(p, ec, mask=None):
         """(se, ae) — ae is None without the attribute channel."""
-        mask_args = ((eval_mask if mask is None else mask,) if use_dropout
-                     else ())
-        out = encode(enc_sub(p), halo, *mask_args, *attr_args)
+        mask_args = ((ec["eval_mask"] if mask is None else mask,)
+                     if use_dropout else ())
+        out = encode(enc_sub(p), ec["halo"], *mask_args, *ec["attr"])
         return out if use_ae else (out, None)
 
-    def encode_emb(p):
+    def encode_emb(p, ec):
         """Eval/mining embeddings: SE, or the GCN-Align β-combined SE‖AE."""
-        se, ae = encode_se_ae(p)
+        se, ae = encode_se_ae(p, ec)
         if use_ae:
             from tpugraph.models.attr_channel import combine_channels
 
             return combine_channels(se, ae, cfg.attr_beta)
         return se
 
-    def joint_loss(p, batch):
+    def joint_loss(p, batch, ec):
         """Margin on SE (+ AE-channel margin) + MTL head losses.  batch
         carries the (possibly boot-augmented) pairs and their weights; the
         Sinkhorn head stays on the seed pairs (as in the single-device MTL)."""
         mask = drop_mask(batch["drop_key"]) if use_dropout else None
-        se, ae = encode_se_ae(p, mask=mask)
+        se, ae = encode_se_ae(p, ec, mask=mask)
         bp, bw = batch["pairs"], batch["w"]
         loss = margin_align_loss(se, bp, batch["neg_l"], batch["neg_r"], cfg.gamma, bw)
         aux = {"margin": loss}
@@ -444,18 +455,19 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
         return loss + extra, {**aux, **aux2}
 
     @jax.jit
-    def train_step(params, opt_state, batch):
-        (loss, aux), grads = jax.value_and_grad(joint_loss, has_aux=True)(params, batch)
+    def train_step(params, opt_state, batch, ec):
+        (loss, aux), grads = jax.value_and_grad(joint_loss, has_aux=True)(
+            params, batch, ec)
         updates, opt_state2 = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state2, loss, aux
 
     @jax.jit
-    def embed(params):
-        return encode_emb(params)
+    def embed(params, ec):
+        return encode_emb(params, ec)
 
     @jax.jit
-    def resample_hard(params, pairs_t):
-        emb = encode_emb(params)
+    def resample_hard(params, pairs_t, ec):
+        emb = encode_emb(params, ec)
         if n_shards > 1:
             # ring-blockwise mining (SURVEY.md §5.7): candidate shards rotate
             # via ppermute; no shard ever holds the full candidate pool.
@@ -476,8 +488,8 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
                                      csls_k=cfg.neg_csls_k)
 
     if use_boot:
-        def propose_boot(params):
-            emb = encode_emb(params)
+        def propose_boot(params, ec):
+            emb = encode_emb(params, ec)
             return propose_mutual_nn_pairs(
                 emb, boot_mask1, boot_mask2, n1, n, cfg.boot_cap,
                 metric=cfg.neg_metric, csls_k=cfg.boot_csls_k)
@@ -489,8 +501,8 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
         if n_shards > 1:
             from tpugraph.dist.ring import ring_hits_at_k
 
-            return ring_hits_at_k(embed(params), task.test_pairs, mesh)
-        return hits_at_k(embed(params), jnp.asarray(task.test_pairs))
+            return ring_hits_at_k(embed(params, enc_consts), task.test_pairs, mesh)
+        return hits_at_k(embed(params, enc_consts), jnp.asarray(task.test_pairs))
 
     from tpugraph.train.checkpoint import Checkpointer, abstract_like
 
@@ -509,7 +521,7 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
 
     base_key = jax.random.PRNGKey(cfg.seed)
 
-    def interval_batch(epoch, p, cond):
+    def interval_batch(epoch, p, cond, ec):
         """The per-interval batch (boot-augmented pairs + negatives + MTL
         head batches) — ONE construction shared by both dispatch modes
         (VERDICT r2 Next #5; the two copies had already diverged on
@@ -523,7 +535,7 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
         ks = jax.random.split(bk, 3)
         if use_boot:
             bp, bw = cond((epoch >= cfg.boot_start) & (epoch > 0),
-                          lambda: propose_boot_jit(p), lambda: boot_placeholder)
+                          lambda: propose_boot_jit(p, ec), lambda: boot_placeholder)
             pairs_t, w = with_boot(bp, bw)
         else:
             pairs_t, w = pairs, None
@@ -533,7 +545,7 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
 
         if cfg.neg_mode == "hard":
             neg_l, neg_r = cond(epoch > 0,
-                                lambda: resample_hard(p, pairs_t), negs_uniform)
+                                lambda: resample_hard(p, pairs_t, ec), negs_uniform)
         else:
             neg_l, neg_r = negs_uniform()
         batch = {"pairs": pairs_t, "w": w, "neg_l": neg_l, "neg_r": neg_r}
@@ -549,24 +561,25 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
         return shard_slice(batch)
 
     def make_batch(epoch):
-        return interval_batch(epoch, params, eager_cond)
+        return interval_batch(epoch, params, eager_cond, enc_consts)
 
     steps = max(1, cfg.steps_per_call)
     if steps > 1 and steps != cfg.neg_every:
         raise ValueError("steps_per_call > 1 requires steps_per_call == neg_every")
 
     @jax.jit
-    def train_interval(params, opt_state, epoch0):
+    def train_interval(params, opt_state, epoch0, ec):
         """Fused resample + neg_every steps (see train/loop.py rationale).
         NOTE: dist checkpoints hold only params/opt_state, so resume is exact
         at interval boundaries (which is where fused chunks always land)."""
-        batch = interval_batch(epoch0, params, traced_cond)
+        batch = interval_batch(epoch0, params, traced_cond, ec)
 
         def body(carry, e):
             params, opt_state = carry
             b = ({**batch, "drop_key": jax.random.fold_in(drop_base, e)}
                  if use_dropout else batch)
-            (loss, aux), grads = jax.value_and_grad(joint_loss, has_aux=True)(params, b)
+            (loss, aux), grads = jax.value_and_grad(joint_loss, has_aux=True)(
+                params, b, ec)
             updates, opt_state = tx.update(grads, opt_state, params)
             return (optax.apply_updates(params, updates), opt_state), (loss, aux)
 
@@ -585,7 +598,7 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
         for epoch in range(start_epoch, cfg.epochs, steps):
             if steps > 1:
                 params, opt_state, loss, aux = train_interval(
-                    params, opt_state, jnp.int32(epoch)
+                    params, opt_state, jnp.int32(epoch), enc_consts
                 )
             else:
                 if epoch % cfg.neg_every == 0 or batch is None:
@@ -593,7 +606,8 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
                 if use_dropout:  # fresh mask every epoch (matches fit())
                     batch = {**batch,
                              "drop_key": jax.random.fold_in(drop_base, epoch)}
-                params, opt_state, loss, aux = train_step(params, opt_state, batch)
+                params, opt_state, loss, aux = train_step(params, opt_state, batch,
+                                                           enc_consts)
             last = epoch + steps - 1
             def _save_ckpt(at_epoch):
                 ckpt.maybe_save(at_epoch, {"params": params, "opt_state": opt_state},
@@ -630,7 +644,7 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
         from tpugraph.serve import save_embeddings
 
         with mesh:
-            save_embeddings(cfg.save_emb_path, jax.device_get(embed(params)))
+            save_embeddings(cfg.save_emb_path, jax.device_get(embed(params, enc_consts)))
     ckpt.close()
     logger.close()
     return TrainResult(params=params, metrics=final, history=history, task=task)
