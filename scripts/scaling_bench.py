@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--n-triples", type=int, default=100_000, help="triples per side")
     ap.add_argument("--dim", type=int, default=128)
     ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--grouped", action="store_true",
+                    help="component-grouped halo exchange (halo_grouped=True; "
+                         "DESIGN.md §5 (c)) — shards>=2 rungs only")
     args = ap.parse_args()
 
     if args.platform == "cpu":
@@ -73,7 +76,7 @@ def main():
         cfg = get_config(
             "dwy100k_dist", n_shards=s, slice_shards=args.slices, dim=args.dim,
             epochs=args.epochs, eval_every=0, k_neg=25, neg_every=5,
-            neg_mode="uniform",
+            neg_mode="uniform", halo_grouped=args.grouped and s > 1,
         )
         t0 = time.perf_counter()
         res = fit_distributed(cfg, task=task)
@@ -88,19 +91,36 @@ def main():
         # real pod run must reproduce for the ≥80% efficiency target — they
         # scale with the partition, not the device count, so the virtual
         # ladder's numbers ARE the pod's numbers.
-        part = partition_edges(np.asarray(src), np.asarray(dst), np.asarray(w),
-                               task.n_ent, n_shards=s) if s > 1 else None
+        if s > 1 and args.grouped:
+            n1 = task.kg1.n_ent
+            n2 = task.n_ent - n1
+            g_half = s // 2
+            n_loc_g = -(-max(n1, n2) // g_half)
+            r0 = g_half * n_loc_g
+            src_s = np.where(np.asarray(src) < n1, np.asarray(src),
+                             np.asarray(src) - n1 + r0)
+            dst_s = np.where(np.asarray(dst) < n1, np.asarray(dst),
+                             np.asarray(dst) - n1 + r0)
+            part = partition_edges(src_s, dst_s, np.asarray(w), 2 * r0,
+                                   n_shards=s, n_groups=2)
+        elif s > 1:
+            part = partition_edges(np.asarray(src), np.asarray(dst), np.asarray(w),
+                                   task.n_ent, n_shards=s)
+        else:
+            part = None
         if part is not None:
             halo_real = int(np.asarray(part.send_mask).sum())
-            halo_pad = s * s * part.halo_b
+            halo_pad = s * part.group_size * part.halo_b
             # bytes shipped per layer pass (padded blocks are what the tiled
             # all_to_all actually moves), one exchange per GCN layer fwd,
             # one for its transpose in bwd
             bpe = 2 if cfg.param_dtype == "bfloat16" else 4
             halo_mb = halo_pad * args.dim * bpe / 1e6
+            p_src = src_s if (args.grouped and s > 1) else np.asarray(src)
+            p_dst = dst_s if (args.grouped and s > 1) else np.asarray(dst)
             bnd_frac = 1.0 - float(
-                (np.minimum(np.asarray(src) // part.n_loc, s - 1)
-                 == np.minimum(np.asarray(dst) // part.n_loc, s - 1)).mean())
+                (np.minimum(p_src // part.n_loc, s - 1)
+                 == np.minimum(p_dst // part.n_loc, s - 1)).mean())
             extra = {"bnd_edge_frac": round(bnd_frac, 4),
                      "halo_rows_real": halo_real,
                      "halo_rows_padded": halo_pad,

@@ -1,0 +1,204 @@
+"""Component-grouped halo exchange (DESIGN.md §5 alternative (c), round 3):
+the two KGs of the block-diagonal merged graph get disjoint halves of the
+'graph' axis and the boundary all_to_all runs within each half only —
+shipping (S/2, B) instead of (S, B) padded rows per shard per layer pass."""
+
+import numpy as np
+import pytest
+
+from tpugraph.sparse.build import coo_from_triples, coo_normalize, coo_to_dense
+from tpugraph.sparse.partition import partition_edges
+
+
+def _two_component_graph(n1=64, n2=80, t=300, seed=0):
+    """Block-diagonal graph: component A rows [0, n1), component B rows
+    [n1, n1+n2) — no cross edges (the merged-KG shape)."""
+    rng = np.random.default_rng(seed)
+    tris = []
+    for base, nn in ((0, n1), (n1, n2)):
+        h = base + rng.integers(0, nn, t)
+        tt = base + rng.integers(0, nn, t)
+        keep = h != tt
+        tris.append(np.stack([h[keep], rng.integers(0, 5, keep.sum()), tt[keep]], 1))
+    tri = np.concatenate(tris, 0)
+    n = n1 + n2
+    src, dst, w = coo_from_triples(n, tri, weighting="uniform")
+    w = coo_normalize(src, dst, w, n, "sym")
+    return n, src, dst, w
+
+
+def _aligned_remap(src, dst, n1, n2, g_half):
+    n_loc = -(-max(n1, n2) // g_half)
+    r0 = g_half * n_loc
+
+    def row_of(ids):
+        return np.where(ids < n1, ids, ids - n1 + r0).astype(ids.dtype)
+
+    return row_of(src), row_of(dst), r0, n_loc
+
+
+@pytest.mark.parametrize("n_shards", [4, 8])
+@pytest.mark.parametrize("impl", ["sorted", "ell"])
+def test_grouped_halo_spmm_matches_dense(n_shards, impl):
+    """Grouped halo SpMM (axis_index_groups a2a, group-local recv buffer)
+    ≡ the dense operator, fwd and grad, for both aggregation impls."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from jax import shard_map
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from tpugraph.dist.halo import halo_spmm, halo_spmm_ell
+    from tpugraph.sparse.halo_ell import build_halo_ell, squeeze_shard
+
+    n1, n2 = 60, 84
+    n, src, dst, w = _two_component_graph(n1, n2)
+    src_r, dst_r, r0, _ = _aligned_remap(src, dst, n1, n2, n_shards // 2)
+    n_rows_pad = 2 * r0
+    hg = partition_edges(src_r, dst_r, w, n_rows_pad, n_shards, n_groups=2)
+    assert hg.n_groups == 2 and hg.send_idx.shape[1] == n_shards // 2
+    n_pad = hg.n_loc * n_shards
+    halo = build_halo_ell(hg) if impl == "ell" else hg
+
+    mesh = Mesh(np.asarray(jax.devices()[:n_shards]).reshape(n_shards, 1),
+                ("graph", "feature"))
+    rng = np.random.default_rng(1)
+    x = np.zeros((n_pad, 8), np.float32)
+    xr = rng.standard_normal((n, 8)).astype(np.float32)
+    x[:n1] = xr[:n1]
+    x[r0:r0 + n2] = xr[n1:]
+
+    @partial(shard_map, mesh=mesh, in_specs=(P("graph", None), P("graph")),
+             out_specs=P("graph", None))
+    def apply(x_local, hs):
+        g = hs.group_size
+        if impl == "ell":
+            hsq = squeeze_shard(hs)
+            return halo_spmm_ell(
+                x_local, hsq.loc, hsq.bnd,
+                hsq.send_idx.reshape(g, hs.halo_b),
+                hsq.send_mask.reshape(g, hs.halo_b),
+                axis_index_groups=hs.axis_groups)
+        return halo_spmm(
+            x_local,
+            hs.loc_src.reshape(-1), hs.loc_dst.reshape(-1), hs.loc_w.reshape(-1),
+            hs.bnd_src.reshape(-1), hs.bnd_dst.reshape(-1), hs.bnd_w.reshape(-1),
+            hs.send_idx.reshape(g, hs.halo_b),
+            hs.send_mask.reshape(g, hs.halo_b),
+            axis_index_groups=hs.axis_groups)
+
+    xg = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("graph", None)))
+    hgd = jax.device_put(halo, NamedSharding(mesh, P("graph")))
+    with mesh:
+        got = np.asarray(apply(xg, hgd))
+        grad = np.asarray(jax.grad(
+            lambda xx: jnp.sum(apply(xx, hgd) ** 2))(xg))
+
+    a = coo_to_dense(src, dst, w, n, n)
+    want = a @ xr
+    got_c = np.concatenate([got[:n1], got[r0:r0 + n2]], 0)
+    np.testing.assert_allclose(got_c, want, rtol=1e-5, atol=1e-5)
+
+    # grad vs dense: d/dx sum((Ax)^2) = 2 A^T A x
+    want_g = 2.0 * a.T @ (a @ xr)
+    grad_c = np.concatenate([grad[:n1], grad[r0:r0 + n2]], 0)
+    np.testing.assert_allclose(grad_c, want_g, rtol=1e-4, atol=1e-4)
+    # padding rows get zero gradient
+    np.testing.assert_allclose(grad[n1:r0], 0.0, atol=1e-7)
+    np.testing.assert_allclose(grad[r0 + n2:], 0.0, atol=1e-7)
+
+
+def test_grouped_partition_rejects_cross_group_edges():
+    n, src, dst, w = _two_component_graph(64, 64)
+    # add one cross-component edge; WITHOUT remap the 64/64 split already
+    # aligns on a 4-shard partition, so the cross edge is the only violation
+    src = np.concatenate([src, [3]])
+    dst = np.concatenate([dst, [100]])
+    w = np.concatenate([w, [0.5]])
+    with pytest.raises(ValueError, match="crosses shard groups"):
+        partition_edges(src, dst, w, n, 4, n_groups=2)
+
+
+def test_grouped_exchange_is_smaller():
+    """The point of the feature: grouped send buffers ship ~half the padded
+    rows of the full-mesh exchange on the block-diagonal graph."""
+    n1 = n2 = 96
+    n, src, dst, w = _two_component_graph(n1, n2, t=500)
+    S = 8
+    hg_full = partition_edges(src, dst, w, n, S, pad_halo_to=8)
+    src_r, dst_r, r0, _ = _aligned_remap(src, dst, n1, n2, S // 2)
+    hg_grp = partition_edges(src_r, dst_r, w, 2 * r0, S, n_groups=2, pad_halo_to=8)
+    rows_full = hg_full.send_idx.shape[1] * hg_full.halo_b  # per shard
+    rows_grp = hg_grp.send_idx.shape[1] * hg_grp.halo_b
+    assert rows_grp <= rows_full // 2 + hg_grp.halo_b
+
+
+@pytest.mark.parametrize("impl", ["ell", "sorted"])
+def test_fit_distributed_halo_grouped_matches(impl):
+    """halo_grouped=True reproduces the ungrouped run exactly on an
+    evenly-divisible task (the row remap is the identity there, so the only
+    difference is the exchange structure), for both spmm impls — including
+    boot + hard mining + eval, the paths that consume remapped ids."""
+    from tpugraph.configs import get_config
+    from tpugraph.data.synthetic import synthetic_align_task
+    from tpugraph.dist.trainer import fit_distributed
+
+    task = synthetic_align_task(seed=25, n_ent=120, n_rel=5, n_triples=500)
+    kw = dict(dim=16, epochs=8, eval_every=4, k_neg=4, neg_every=4,
+              neg_mode="hard", syn_n_ent=120, boot_cap=16, boot_start=4,
+              boot_weight=0.5, n_shards=4, spmm_impl=impl)
+    rg = fit_distributed(get_config("base", halo_grouped=True, **kw), task=task)
+    ru = fit_distributed(get_config("base", **kw), task=task)
+    assert rg.history[-1]["loss"] == pytest.approx(ru.history[-1]["loss"], rel=1e-4)
+    np.testing.assert_allclose(np.asarray(rg.params["emb"]),
+                               np.asarray(ru.params["emb"]), rtol=1e-4, atol=1e-6)
+    assert rg.metrics["hits@1"] == pytest.approx(ru.metrics["hits@1"], abs=1e-6)
+
+
+def test_fit_distributed_halo_grouped_uneven_rows():
+    """Non-identity row remap (n1 not divisible by S/2): training runs, the
+    loss is finite, and metrics land near the ungrouped run (init vectors
+    per entity differ under the remap, so exact equality is not expected)."""
+    from tpugraph.configs import get_config
+    from tpugraph.data.synthetic import synthetic_align_task
+    from tpugraph.dist.trainer import fit_distributed
+
+    task = synthetic_align_task(seed=27, n_ent=110, n_rel=5, n_triples=450)
+    kw = dict(dim=16, epochs=8, eval_every=4, k_neg=4, neg_every=4,
+              neg_mode="uniform", syn_n_ent=110, n_shards=4)
+    rg = fit_distributed(get_config("base", halo_grouped=True, **kw), task=task)
+    ru = fit_distributed(get_config("base", **kw), task=task)
+    assert np.isfinite(rg.metrics["final_loss"])
+    assert rg.metrics["final_loss"] == pytest.approx(ru.metrics["final_loss"], rel=0.1)
+    assert rg.metrics["hits@1"] == pytest.approx(ru.metrics["hits@1"], abs=0.15)
+
+
+def test_fit_distributed_halo_grouped_mtl_channels():
+    """Grouped mode with the full MTL surface (rel head + attr head + AE
+    channel + sinkhorn): all remapped id consumers line up — equal to the
+    ungrouped run on an identity-remap task."""
+    from tpugraph.configs import get_config
+    from tpugraph.data.synthetic import synthetic_align_task
+    from tpugraph.dist.trainer import fit_distributed
+
+    task = synthetic_align_task(seed=29, n_ent=120, n_rel=5, n_triples=500,
+                                n_attr=16)
+    kw = dict(dim=16, epochs=6, eval_every=6, k_neg=4, neg_every=3,
+              neg_mode="uniform", syn_n_ent=120, n_shards=4,
+              use_rel_head=True, use_attr_head=True, use_attr_channel=True,
+              use_sinkhorn=True, sinkhorn_weight=0.5, attr_beta=0.8)
+    rg = fit_distributed(get_config("base", halo_grouped=True, **kw), task=task)
+    ru = fit_distributed(get_config("base", **kw), task=task)
+    assert rg.history[-1]["loss"] == pytest.approx(ru.history[-1]["loss"], rel=1e-4)
+    np.testing.assert_allclose(np.asarray(rg.params["emb"]),
+                               np.asarray(ru.params["emb"]), rtol=1e-4, atol=1e-6)
+
+
+def test_halo_grouped_rejects_odd_shards():
+    from tpugraph.configs import get_config
+    from tpugraph.dist.trainer import fit_distributed
+
+    cfg = get_config("base", n_shards=3, halo_grouped=True, syn_n_ent=64,
+                     syn_n_triples=200)
+    with pytest.raises(ValueError, match="even n_shards"):
+        fit_distributed(cfg)

@@ -94,6 +94,12 @@ class TrainConfig:
     feature_shards: int = 1
     slice_shards: int = 1  # DCN axis: data-parallel loss batches across pod
     # slices; grads all-reduce over 'slice' is the only DCN collective
+    halo_grouped: bool = False  # component-grouped halo exchange: shard the
+    # two KGs onto disjoint halves of the 'graph' axis (row-remapped ids) and
+    # all_to_all within each half only — ~2x fewer padded exchange rows on the
+    # block-diagonal merged graph (DESIGN.md §5 (c)); requires even n_shards.
+    # The flag is part of the partition geometry: checkpoints do not restore
+    # across a halo_grouped change (row layout differs).
 
     # --- observability ---
     metrics_path: str | None = None  # JSONL sink

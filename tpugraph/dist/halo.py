@@ -41,6 +41,7 @@ def halo_spmm_ell(
     send_mask,  # (S, B)
     axis: str = "graph",
     force_serialize: bool = False,
+    axis_index_groups=None,
 ) -> jnp.ndarray:
     """Scatter-free halo SpMM: same exchange/overlap structure as halo_spmm,
     aggregation via the ELL path (kernels/spmm_ell.py) in fwd AND bwd.
@@ -48,7 +49,10 @@ def halo_spmm_ell(
     ``force_serialize``: benchmarking aid (scripts/overlap_probe.py) — makes
     the local aggregation consume the received buffer first, so the schedule
     CANNOT overlap the collective with local compute; the timing delta vs the
-    default is the measured overlap benefit."""
+    default is the measured overlap benefit.
+    ``axis_index_groups``: component-grouped exchange (DESIGN.md §5 (c)) —
+    the all_to_all runs within each listed shard group only; send_idx's
+    leading dim is then the GROUP size, not the full axis size."""
     from tpugraph.kernels.spmm_ell import spmm_ell
 
     s, b = send_idx.shape
@@ -58,7 +62,8 @@ def halo_spmm_ell(
         # cast the mask, not the payload: bf16 activations must cross the ICI
         # as bf16 (half the exchange bytes), not get promoted to fp32
         send = send * send_mask[:, :, None].astype(send.dtype)
-        recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0, tiled=True)
+        recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0, tiled=True,
+                                  axis_index_groups=axis_index_groups)
     if force_serialize:
         # optimization_barrier ties x_local's availability to recv: the local
         # aggregation can then only start after the collective completes
@@ -78,14 +83,17 @@ def halo_spmm(
     send_mask,  # (S, B)
     axis: str = "graph",
     force_serialize: bool = False,
+    axis_index_groups=None,
 ) -> jnp.ndarray:
     n_loc, d = x_local.shape
     s, b = send_idx.shape
-    # 1. halo exchange: one tiled all_to_all over ICI
+    # 1. halo exchange: one tiled all_to_all over ICI (within-group only
+    # when axis_index_groups is set — see halo_spmm_ell docstring)
     with jax.named_scope("halo_a2a"):
         send = jnp.take(x_local, send_idx.reshape(-1), axis=0).reshape(s, b, d)
         send = send * send_mask[:, :, None].astype(send.dtype)
-        recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0, tiled=True)
+        recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0, tiled=True,
+                                  axis_index_groups=axis_index_groups)
     if force_serialize:  # benchmarking aid — see halo_spmm_ell docstring
         x_local, recv = jax.lax.optimization_barrier((x_local, recv))
     # 2. local aggregation — no data dependence on `recv`; overlaps the exchange

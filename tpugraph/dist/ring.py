@@ -100,7 +100,7 @@ def ring_hits_at_k(
                 out[f"hits@{k}_{tag}"] = float(
                     jnp.sum(jnp.where(valid, ranks < k, False)) / n)
             out[f"mrr_{tag}"] = float(
-                jnp.sum(jnp.where(valid, 1.0 / (ranks.astype(jnp.float64) + 1.0), 0.0)) / n)
+                jnp.sum(jnp.where(valid, 1.0 / (ranks.astype(jnp.float32) + 1.0), 0.0)) / n)
     for k in ks:
         out[f"hits@{k}"] = 0.5 * (out[f"hits@{k}_l2r"] + out[f"hits@{k}_r2l"])
     out["mrr"] = 0.5 * (out["mrr_l2r"] + out["mrr_r2l"])

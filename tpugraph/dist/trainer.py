@@ -132,11 +132,13 @@ def make_encoder(mesh, halo, highway: bool, impl: str = "sorted",
             from tpugraph.sparse.halo_ell import squeeze_shard
 
             hsq = squeeze_shard(hs)
-            send_idx = hsq.send_idx.reshape(hs.n_shards, hs.halo_b)
-            send_mask = hsq.send_mask.reshape(hs.n_shards, hs.halo_b)
+            g = hs.group_size  # == n_shards ungrouped; within-group size else
+            send_idx = hsq.send_idx.reshape(g, hs.halo_b)
+            send_mask = hsq.send_mask.reshape(g, hs.halo_b)
 
             def spmm(x):
-                return halo_spmm_ell(x, hsq.loc, hsq.bnd, send_idx, send_mask)
+                return halo_spmm_ell(x, hsq.loc, hsq.bnd, send_idx, send_mask,
+                                     axis_index_groups=hs.axis_groups)
 
         else:
             loc_src = hs.loc_src.reshape(-1)
@@ -145,12 +147,13 @@ def make_encoder(mesh, halo, highway: bool, impl: str = "sorted",
             bnd_src = hs.bnd_src.reshape(-1)
             bnd_dst = hs.bnd_dst.reshape(-1)
             bnd_w = hs.bnd_w.reshape(-1)
-            send_idx = hs.send_idx.reshape(hs.n_shards, hs.halo_b)
-            send_mask = hs.send_mask.reshape(hs.n_shards, hs.halo_b)
+            send_idx = hs.send_idx.reshape(hs.group_size, hs.halo_b)
+            send_mask = hs.send_mask.reshape(hs.group_size, hs.halo_b)
 
             def spmm(x):
                 return halo_spmm(x, loc_src, loc_dst, loc_w, bnd_src, bnd_dst, bnd_w,
-                                 send_idx, send_mask)
+                                 send_idx, send_mask,
+                                 axis_index_groups=hs.axis_groups)
 
         def w_(p):  # params stay fp32; cast at use (mixed-precision recipe)
             return p["w"].astype(cdt)
@@ -227,7 +230,38 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
     src, dst, w = coo_from_triples(task.n_ent, task.merged_triples, n_rel=task.n_rel,
                                    weighting=cfg.weighting)
     w = coo_normalize(src, dst, w, task.n_ent, norm=cfg.norm)
-    hg = partition_edges(src, dst, w, task.n_ent, n_shards)
+    n1, n = task.kg1.n_ent, task.n_ent
+    n2 = n - n1
+    if cfg.halo_grouped:
+        # Component-grouped exchange (DESIGN.md §5 (c)): give each KG its own
+        # contiguous HALF of the shard range so the block-diagonal merged
+        # graph has zero cross-group halo needs, then all_to_all within each
+        # half only.  Entity ids are row-remapped so the KG boundary lands
+        # exactly on the group boundary: KG1 keeps rows [0, n1) (pad up to
+        # r0), KG2 entity n1+j lives at row r0+j.  Every id array the trainer
+        # touches is remapped through row_of below; r0/r1 replace the n1/n
+        # KG2 bases everywhere (ungrouped: r0 == n1, r1 == n, remap a no-op).
+        if n_shards < 2 or n_shards % 2:
+            raise ValueError("halo_grouped requires an even n_shards >= 2")
+        g_half = n_shards // 2
+        n_loc_g = -(-max(n1, n2) // g_half)  # ceil
+        r0 = g_half * n_loc_g
+        import numpy as _np
+
+        def row_of(ids):
+            ids = _np.asarray(ids)
+            return _np.where(ids < n1, ids, ids - n1 + r0).astype(ids.dtype)
+
+        src, dst = row_of(src), row_of(dst)
+        hg = partition_edges(src, dst, w, 2 * r0, n_shards, n_groups=2)
+    else:
+        r0 = n1
+
+        def row_of(ids):
+            return ids
+
+        hg = partition_edges(src, dst, w, task.n_ent, n_shards)
+    r1 = r0 + n2
     n_pad = hg.n_loc * n_shards
 
     hidden = cfg.hidden or cfg.dim
@@ -279,7 +313,11 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
     if use_ae:
         from tpugraph.sparse.halo_ell import build_attr_incidence_ell
 
-        attr_inc = build_attr_incidence_ell(attr_all, task.n_ent, task.n_attr,
+        attr_remapped = attr_all
+        if cfg.halo_grouped:
+            attr_remapped = attr_all.copy()
+            attr_remapped[:, 0] = row_of(attr_all[:, 0])
+        attr_inc = build_attr_incidence_ell(attr_remapped, n_pad, task.n_attr,
                                             n_shards, hg.n_loc)
         attr_args = (jax.device_put(attr_inc, NamedSharding(mesh, P("graph"))),)
 
@@ -315,8 +353,7 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
                 else repl)
             if hasattr(x, "shape") else x, t, tmpl)
 
-    pairs = jax.device_put(jnp.asarray(task.train_pairs), repl)
-    n1, n = task.kg1.n_ent, task.n_ent
+    pairs = jax.device_put(jnp.asarray(row_of(task.train_pairs)), repl)
 
     use_boot = cfg.boot_cap > 0
     if use_boot:
@@ -324,15 +361,16 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
 
         from tpugraph.train.bootstrap import propose_mutual_nn_pairs
 
-        _m1 = _np.ones(n1, bool)
+        _m1 = _np.zeros(r0, bool)  # rows [n1, r0) are grouped-mode padding
+        _m1[:n1] = True
         _m1[task.train_pairs[:, 0]] = False
-        _m2 = _np.ones(n - n1, bool)
+        _m2 = _np.ones(n2, bool)
         _m2[task.train_pairs[:, 1] - n1] = False
         boot_mask1 = jax.device_put(jnp.asarray(_m1), repl)
         boot_mask2 = jax.device_put(jnp.asarray(_m2), repl)
         ones_seed = jnp.ones((pairs.shape[0],), jnp.float32)
         boot_placeholder = (
-            jnp.tile(jnp.array([0, n1], jnp.int32), (cfg.boot_cap, 1)),
+            jnp.tile(jnp.array([0, r0], jnp.int32), (cfg.boot_cap, 1)),
             jnp.zeros((cfg.boot_cap,), jnp.float32),
         )
 
@@ -340,10 +378,20 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
             return (jnp.concatenate([pairs, bp], 0),
                     jnp.concatenate([ones_seed, bw * cfg.boot_weight], 0))
 
-    rel_triples = jax.device_put(jnp.asarray(task.merged_triples), repl)
-    attr_triples = (
-        jax.device_put(jnp.asarray(attr_all), repl) if attr_all is not None else None
-    )
+    _rel = task.merged_triples
+    if cfg.halo_grouped:
+        _rel = _rel.copy()
+        _rel[:, 0] = row_of(_rel[:, 0])
+        _rel[:, 2] = row_of(_rel[:, 2])
+    rel_triples = jax.device_put(jnp.asarray(_rel), repl)
+    if attr_all is not None:
+        _at = attr_all
+        if cfg.halo_grouped:
+            _at = _at.copy()
+            _at[:, 0] = row_of(_at[:, 0])
+        attr_triples = jax.device_put(jnp.asarray(_at), repl)
+    else:
+        attr_triples = None
 
     def head_losses(p, emb, batch):
         """MTL heads on the row-sharded encoder output (GSPMD inserts the
@@ -477,9 +525,9 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
             e_l = jnp.take(emb, pairs_t[:, 0], axis=0)
             e_r = jnp.take(emb, pairs_t[:, 1], axis=0)
             cand_l = jax.lax.slice_in_dim(emb, 0, n1, axis=0)
-            cand_r = jax.lax.slice_in_dim(emb, n1, n, axis=0)
-            neg_r = ring_knn(e_l, cand_r, pairs_t[:, 1] - n1, cfg.k_neg, mesh,
-                             metric=cfg.neg_metric, csls_k=cfg.neg_csls_k) + n1
+            cand_r = jax.lax.slice_in_dim(emb, r0, r1, axis=0)
+            neg_r = ring_knn(e_l, cand_r, pairs_t[:, 1] - r0, cfg.k_neg, mesh,
+                             metric=cfg.neg_metric, csls_k=cfg.neg_csls_k) + r0
             neg_l = ring_knn(e_r, cand_l, pairs_t[:, 0], cfg.k_neg, mesh,
                              metric=cfg.neg_metric, csls_k=cfg.neg_csls_k)
             return neg_l, neg_r
@@ -491,18 +539,20 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
         def propose_boot(params, ec):
             emb = encode_emb(params, ec)
             return propose_mutual_nn_pairs(
-                emb, boot_mask1, boot_mask2, n1, n, cfg.boot_cap,
+                emb, boot_mask1, boot_mask2, r0, r1, cfg.boot_cap,
                 metric=cfg.neg_metric, csls_k=cfg.boot_csls_k)
 
         propose_boot_jit = jax.jit(propose_boot)
+
+    test_rows = row_of(task.test_pairs)
 
     def dist_eval(params):
         """Ring-blockwise eval (SURVEY.md §5.7) when actually sharded."""
         if n_shards > 1:
             from tpugraph.dist.ring import ring_hits_at_k
 
-            return ring_hits_at_k(embed(params, enc_consts), task.test_pairs, mesh)
-        return hits_at_k(embed(params, enc_consts), jnp.asarray(task.test_pairs))
+            return ring_hits_at_k(embed(params, enc_consts), test_rows, mesh)
+        return hits_at_k(embed(params, enc_consts), jnp.asarray(test_rows))
 
     from tpugraph.train.checkpoint import Checkpointer, abstract_like
 
@@ -541,7 +591,8 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
             pairs_t, w = pairs, None
 
         def negs_uniform():
-            return sample_uniform_negatives(ks[0], pairs_t, n1, n, cfg.k_neg)
+            nl, nr = sample_uniform_negatives(ks[0], pairs_t, n1, n, cfg.k_neg)
+            return nl, nr + (r0 - n1)  # KG2 draws -> row space (no-op ungrouped)
 
         if cfg.neg_mode == "hard":
             neg_l, neg_r = cond(epoch > 0,
@@ -641,10 +692,15 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
         final = dist_eval(params)
     final["final_loss"] = float(loss)
     if cfg.save_emb_path:  # gather the sharded table and hand it to serving
+        import numpy as _np
+
         from tpugraph.serve import save_embeddings
 
         with mesh:
-            save_embeddings(cfg.save_emb_path, jax.device_get(embed(params, enc_consts)))
+            emb_host = _np.asarray(jax.device_get(embed(params, enc_consts)))
+        if cfg.halo_grouped:  # de-remap: serving expects row == entity id
+            emb_host = _np.concatenate([emb_host[:n1], emb_host[r0:r1]], axis=0)
+        save_embeddings(cfg.save_emb_path, emb_host)
     ckpt.close()
     logger.close()
     return TrainResult(params=params, metrics=final, history=history, task=task)

@@ -108,13 +108,25 @@ class HaloEll:
 
     loc: EllOperator
     bnd: EllOperator
-    send_idx: jax.Array  # (S, S, B)
-    send_mask: jax.Array  # (S, S, B)
+    send_idx: jax.Array  # (S, G, B) — G = group size (== S ungrouped)
+    send_mask: jax.Array  # (S, G, B)
     n_shards: int = field(metadata=dict(static=True))
     n_loc: int = field(metadata=dict(static=True))
     halo_b: int = field(metadata=dict(static=True))
     nnz: int = field(metadata=dict(static=True))
     n_rows: int = field(metadata=dict(static=True))
+    n_groups: int = field(default=1, metadata=dict(static=True))
+
+    @property
+    def group_size(self) -> int:
+        return self.n_shards // self.n_groups
+
+    @property
+    def axis_groups(self) -> list[list[int]] | None:
+        g = self.group_size
+        if self.n_groups == 1:
+            return None
+        return [[k * g + j for j in range(g)] for k in range(self.n_groups)]
 
 
 def build_halo_ell(hg: HaloGraph) -> HaloEll:
@@ -122,7 +134,7 @@ def build_halo_ell(hg: HaloGraph) -> HaloEll:
 
     loc_edges = _extract(hg, "loc")
     bnd_edges = _extract(hg, "bnd")
-    n_ext = hg.n_shards * hg.halo_b
+    n_ext = hg.group_size * hg.halo_b  # recv buffer: own-group rows only
     # split the diagonal (self-loops — always shard-local) out of the local
     # group: gather-free broadcast multiply, +15% measured on-chip SpMM rate
     # (see EllOperator.diag); stacked (S, n_loc) so shard_map splits it
@@ -147,7 +159,7 @@ def build_halo_ell(hg: HaloGraph) -> HaloEll:
     return HaloEll(
         loc=loc, bnd=bnd, send_idx=hg.send_idx, send_mask=hg.send_mask,
         n_shards=hg.n_shards, n_loc=hg.n_loc, halo_b=hg.halo_b,
-        nnz=hg.nnz, n_rows=hg.n_rows,
+        nnz=hg.nnz, n_rows=hg.n_rows, n_groups=hg.n_groups,
     )
 
 

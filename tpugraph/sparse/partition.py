@@ -47,14 +47,30 @@ class HaloGraph:
     bnd_src: jax.Array  # (S, E_bnd) int32 — index into recv buffer [0, S*B)
     bnd_dst: jax.Array  # (S, E_bnd) int32 — local dst row; pad = n_loc
     bnd_w: jax.Array  # (S, E_bnd) float32
-    # halo exchange index lists
-    send_idx: jax.Array  # (S, S, B) int32 — local rows shard s sends to shard t
-    send_mask: jax.Array  # (S, S, B) float32 — 1.0 for real entries, 0.0 pad
+    # halo exchange index lists.  G = n_shards // n_groups is the exchange
+    # group size; ungrouped (n_groups=1) G = n_shards and these are the
+    # classic (S, S, B) full-mesh lists.
+    send_idx: jax.Array  # (S, G, B) int32 — local rows shard s sends to the
+    #                      j-th member of ITS OWN group
+    send_mask: jax.Array  # (S, G, B) float32 — 1.0 for real entries, 0.0 pad
     n_shards: int = field(metadata=dict(static=True))
     n_loc: int = field(metadata=dict(static=True))
     halo_b: int = field(metadata=dict(static=True))
     nnz: int = field(metadata=dict(static=True))
     n_rows: int = field(metadata=dict(static=True))  # original (unpadded) N
+    n_groups: int = field(default=1, metadata=dict(static=True))
+
+    @property
+    def group_size(self) -> int:
+        return self.n_shards // self.n_groups
+
+    @property
+    def axis_groups(self) -> list[list[int]] | None:
+        """axis_index_groups for the grouped all_to_all (None when ungrouped)."""
+        if self.n_groups == 1:
+            return None
+        g = self.group_size
+        return [[k * g + j for j in range(g)] for k in range(self.n_groups)]
 
 
 def partition_edges(
@@ -65,13 +81,38 @@ def partition_edges(
     n_shards: int,
     pad_edges_to: int = 1024,
     pad_halo_to: int = 256,
+    n_groups: int = 1,
 ) -> HaloGraph:
-    """COO (any order) → HaloGraph. See module docstring for the layout."""
+    """COO (any order) → HaloGraph. See module docstring for the layout.
+
+    ``n_groups > 1`` — component-grouped halo exchange (DESIGN.md §5
+    alternative (c), built round 3): shards are split into ``n_groups``
+    contiguous groups of G = n_shards//n_groups, and the all_to_all runs
+    only WITHIN each group (axis_index_groups), shipping (G, B) instead of
+    (S, B) per shard.  This exploits the merged alignment graph being
+    block-diagonal across the two KGs: when each group's shard range covers
+    exactly one connected component, cross-group halo needs are zero by
+    construction.  The caller must align components to group boundaries
+    (row-remapped ids — dist/trainer.py halo_grouped); a cross-group edge
+    is a hard error, not silent degradation."""
     import jax.numpy as jnp
 
+    if n_shards % n_groups:
+        raise ValueError(f"n_groups={n_groups} must divide n_shards={n_shards}")
+    g_size = n_shards // n_groups
     n_loc = _round_up(n_rows, n_shards) // n_shards
     owner_dst = np.minimum(dst // n_loc, n_shards - 1)
     owner_src = np.minimum(src // n_loc, n_shards - 1)
+    if n_groups > 1:
+        bad = (owner_dst // g_size) != (owner_src // g_size)
+        if bad.any():
+            i = int(np.argmax(bad))
+            raise ValueError(
+                f"grouped halo exchange requires a component-aligned "
+                f"partition, but edge {int(src[i])}->{int(dst[i])} crosses "
+                f"shard groups {int(owner_src[i]) // g_size}->"
+                f"{int(owner_dst[i]) // g_size}; disable halo_grouped or fix "
+                f"the row remap")
 
     loc_parts, bnd_parts = [], []
     send_sets: list[list[np.ndarray]] = [[None] * n_shards for _ in range(n_shards)]
@@ -102,14 +143,16 @@ def partition_edges(
             halo_b = max(halo_b, len(uniq))
     halo_b = _round_up(halo_b, pad_halo_to)
 
-    send_idx = np.zeros((n_shards, n_shards, halo_b), np.int32)
-    send_mask = np.zeros((n_shards, n_shards, halo_b), np.float32)
+    send_idx = np.zeros((n_shards, g_size, halo_b), np.int32)
+    send_mask = np.zeros((n_shards, g_size, halo_b), np.float32)
     for s in range(n_shards):  # receiver
         for o, uniq in recv_maps[s].items():  # owner/sender
             k = len(uniq)
             if k:
-                send_idx[o, s, :k] = (uniq - o * n_loc).astype(np.int32)
-                send_mask[o, s, :k] = 1.0
+                # sender o addresses the receiver by its rank WITHIN o's
+                # group (== full shard id when ungrouped)
+                send_idx[o, s % g_size, :k] = (uniq - o * n_loc).astype(np.int32)
+                send_mask[o, s % g_size, :k] = 1.0
 
     # finalize boundary src indices: recv buffer is laid out [owner, slot]
     e_loc = max(
@@ -127,7 +170,8 @@ def partition_edges(
         for s, p in enumerate(parts):
             if boundary:
                 b_src, b_dst, b_w, b_own, slots = p
-                idx = (b_own * halo_b + slots).astype(np.int64)
+                # recv buffer is laid out [owner-rank-within-group, slot]
+                idx = ((b_own % g_size) * halo_b + slots).astype(np.int64)
                 order = np.argsort(b_dst, kind="stable")
                 k = len(b_dst)
                 a_src[s, :k] = idx[order]
@@ -150,5 +194,5 @@ def partition_edges(
         bnd_src=jnp.asarray(b_src), bnd_dst=jnp.asarray(b_dst), bnd_w=jnp.asarray(b_w),
         send_idx=jnp.asarray(send_idx), send_mask=jnp.asarray(send_mask),
         n_shards=int(n_shards), n_loc=int(n_loc), halo_b=int(halo_b),
-        nnz=int(len(src)), n_rows=int(n_rows),
+        nnz=int(len(src)), n_rows=int(n_rows), n_groups=int(n_groups),
     )
