@@ -23,6 +23,17 @@ from tpugraph.train.losses import pairwise_l1
 
 
 @partial(jax.jit, static_argnames=("k", "block_c", "csls_k"))
+def _topk_query(emb, query_ids, candidate_ids, k, block_c=2048, csls_k=0):
+    """Single-dispatch query path: the id gathers, the blockwise search, and
+    the idx→entity-id mapping all run inside ONE jit — eager gathers cost a
+    tunnel round-trip each on this platform (round-2 eval fix; serve got the
+    same treatment in round 3, measured in BASELINE.md serve rows)."""
+    q = jnp.take(emb, query_ids, axis=0)
+    cands = jnp.take(emb, candidate_ids, axis=0)
+    vals, idx = _topk_blockwise(q, cands, k, block_c, csls_k)
+    return vals, jnp.take(candidate_ids, idx)
+
+
 def _topk_blockwise(q, cands, k, block_c=2048, csls_k=0):
     s = q.shape[0]
     c, d = cands.shape
@@ -68,14 +79,16 @@ def topk_alignments(
 
     csls_k > 0 ranks by the CSLS-adjusted score 2·d(q,j) − r(j) (candidate
     hubness vs this query pool; same convention as train/eval.py) — scores
-    are then CSLS values, not raw distances."""
-    q = jnp.take(emb, jnp.asarray(query_ids, dtype=jnp.int32), axis=0)
-    cands = jnp.take(emb, jnp.asarray(candidate_ids, dtype=jnp.int32), axis=0)
-    vals, idx = _topk_blockwise(q, cands, k, block_c, csls_k)
-    order = np.argsort(np.asarray(vals), axis=1, kind="stable")
-    vals = np.take_along_axis(np.asarray(vals), order, axis=1)
-    idx = np.take_along_axis(np.asarray(idx), order, axis=1)
-    return vals, np.asarray(candidate_ids)[idx]
+    are then CSLS values, not raw distances.
+
+    One device dispatch + one host readback per call: rows come back already
+    sorted best-first (each scan step's lax.top_k re-sorts the running k)."""
+    vals, ids = _topk_query(
+        jnp.asarray(emb),
+        jnp.asarray(query_ids, dtype=jnp.int32),
+        jnp.asarray(candidate_ids, dtype=jnp.int32),
+        k, block_c, csls_k)
+    return np.asarray(vals), np.asarray(ids)
 
 
 def export_alignments(path: str, emb, query_ids, candidate_ids, k: int = 10,
