@@ -28,9 +28,12 @@ import jax.numpy as jnp
 
 
 def _segsum(w, x, src, dst, n_rows):
-    msg = jnp.take(x, src, axis=0) * w[:, None]
+    # fp32 accumulation for bf16 inputs — same rationale as
+    # kernels/spmm.py::_segment_spmm (bf16 scatter-add is an ~85× cliff on
+    # this TPU; ELL semantics also accumulate fp32)
+    msg = jnp.take(x, src, axis=0).astype(jnp.float32) * w[:, None]
     out = jax.ops.segment_sum(msg, dst, num_segments=n_rows + 1, indices_are_sorted=True)
-    return out[:n_rows]
+    return out[:n_rows].astype(x.dtype)
 
 
 def halo_spmm_ell(
