@@ -156,9 +156,22 @@ def _knn_query_blocked_approx(q, cands, exclude, k, metric, block_q: int = 4096,
               else jnp.zeros((c,), jnp.float32))
     scale = 2.0 if csls_k > 0 else 1.0
 
+    # cityblock + no CSLS: MXU-prefiltered — shortlist by sqeuclidean (one
+    # MXU matmul tile per query block) then exact-L1 rerank WITHIN the
+    # shortlist only.  Before round 3 this branch computed the full
+    # block_q × C exact-L1 tile on the VPU (the "approx" was only in the
+    # top-k), which the train-step trace showed dominating hard-mining
+    # epochs (~2× the rest of the step combined — DESIGN.md §6c).  Same
+    # structure as train/eval._ranks_l1_prefiltered; negatives are a
+    # sampling strategy, so shortlist misses are semantically fine.
+    # (cityblock + csls_k > 0 keeps the exact tile: its hubness term is
+    # L1-exact and the combination is not on any hot recipe path.)
+    prefilter_l1 = metric == "cityblock" and csls_k == 0
+    k_short = min(c, max(2 * k, k + 8))
+
     def body(_, blk):
         qq, ex = blk
-        if metric == "sqeuclidean":
+        if metric == "sqeuclidean" or prefilter_l1:
             dmat = (jnp.sum(qq.astype(jnp.float32) ** 2, axis=1)[:, None] + c2[None, :]
                     - 2.0 * jnp.dot(qq.astype(jnp.float32), cands.astype(jnp.float32).T,
                                     preferred_element_type=jnp.float32))
@@ -167,6 +180,17 @@ def _knn_query_blocked_approx(q, cands, exclude, k, metric, block_q: int = 4096,
         dmat = scale * dmat - r_cand[None, :]
         cidx = jax.lax.broadcasted_iota(jnp.int32, (block_q, c), 1)
         dmat = jnp.where(cidx == ex[:, None], jnp.inf, dmat)
+        if prefilter_l1:
+            _, sidx = jax.lax.approx_min_k(dmat, k_short)
+            g = jnp.take(cands, sidx, axis=0)  # (block_q, k_short, d)
+            d_l1 = pairwise_l1(qq[:, None, :], g).astype(jnp.float32)
+            # re-mask the excluded partner (it may have entered the shortlist)
+            d_l1 = jnp.where(sidx == ex[:, None], jnp.inf, d_l1)
+            # approx_min_k, not top_k: the exact rerank's full row sort cost
+            # 16.7 ms/epoch at zh-en scale vs ~2 ms for the partial reduction
+            _, pos = jax.lax.approx_min_k(d_l1, k)
+            return None, jnp.take_along_axis(sidx, pos.astype(jnp.int32),
+                                             axis=1).astype(jnp.int32)
         _, idx = jax.lax.approx_min_k(dmat, k)
         return None, idx.astype(jnp.int32)
 
