@@ -617,6 +617,8 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
     steps = max(1, cfg.steps_per_call)
     if steps > 1 and steps != cfg.neg_every:
         raise ValueError("steps_per_call > 1 requires steps_per_call == neg_every")
+    if steps > 1 and cfg.profile_dir:
+        raise ValueError("profile_dir requires steps_per_call=1 (per-epoch trace windows)")
 
     @jax.jit
     def train_interval(params, opt_state, epoch0, ec):
@@ -647,6 +649,13 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
     t_start = time.perf_counter()
     with mesh:
         for epoch in range(start_epoch, cfg.epochs, steps):
+            if cfg.profile_dir and epoch == start_epoch + 2:
+                # same window as train/loop.fit; on a pod slice this is the
+                # one-command decisive overlap measurement — the trace shows
+                # whether all-to-all-start/done brackets the local SpMM
+                # (process 0 writes; other processes skip)
+                if jax.process_index() == 0:
+                    jax.profiler.start_trace(cfg.profile_dir)
             if steps > 1:
                 params, opt_state, loss, aux = train_interval(
                     params, opt_state, jnp.int32(epoch), enc_consts
@@ -659,6 +668,10 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
                              "drop_key": jax.random.fold_in(drop_base, epoch)}
                 params, opt_state, loss, aux = train_step(params, opt_state, batch,
                                                            enc_consts)
+            if cfg.profile_dir and epoch == start_epoch + 5:
+                if jax.process_index() == 0:
+                    jax.block_until_ready(loss)
+                    jax.profiler.stop_trace()
             last = epoch + steps - 1
             def _save_ckpt(at_epoch):
                 ckpt.maybe_save(at_epoch, {"params": params, "opt_state": opt_state},
