@@ -163,9 +163,11 @@ def test_fit_distributed_halo_grouped_uneven_rows():
     from tpugraph.data.synthetic import synthetic_align_task
     from tpugraph.dist.trainer import fit_distributed
 
-    task = synthetic_align_task(seed=27, n_ent=110, n_rel=5, n_triples=450)
+    # 111 ents/side: odd, so n1 % (S/2) != 0 and the remap genuinely shifts
+    # KG2 rows (110 would be an identity remap at S=4)
+    task = synthetic_align_task(seed=27, n_ent=111, n_rel=5, n_triples=450)
     kw = dict(dim=16, epochs=8, eval_every=4, k_neg=4, neg_every=4,
-              neg_mode="uniform", syn_n_ent=110, n_shards=4)
+              neg_mode="uniform", syn_n_ent=111, n_shards=4)
     rg = fit_distributed(get_config("base", halo_grouped=True, **kw), task=task)
     ru = fit_distributed(get_config("base", **kw), task=task)
     assert np.isfinite(rg.metrics["final_loss"])
@@ -192,6 +194,37 @@ def test_fit_distributed_halo_grouped_mtl_channels():
     assert rg.history[-1]["loss"] == pytest.approx(ru.history[-1]["loss"], rel=1e-4)
     np.testing.assert_allclose(np.asarray(rg.params["emb"]),
                                np.asarray(ru.params["emb"]), rtol=1e-4, atol=1e-6)
+
+
+def test_fit_distributed_halo_grouped_rel_head_respects_remap():
+    """Review r3 item 1 regression: rel-head negative corruptions are drawn
+    in entity-id space and mapped to rows — under a NON-identity remap they
+    must never hit the KG1 padding rows [n1, r0).  Padding rows receive no
+    gradient from any loss, so they must sit at their init values no matter
+    how long training runs: two runs of different lengths must agree on
+    them exactly (drift there ⇒ something sampled a padding row)."""
+    from tpugraph.configs import get_config
+    from tpugraph.data.synthetic import synthetic_align_task
+    from tpugraph.dist.trainer import fit_distributed
+
+    task = synthetic_align_task(seed=31, n_ent=111, n_rel=5, n_triples=450)
+    n1 = task.kg1.n_ent  # 111 ents/side (odd); S=4 -> g_half=2, n_loc=56, r0=112
+    g_half = 2
+    n_loc = -(-max(n1, task.n_ent - n1) // g_half)
+    r0 = g_half * n_loc
+    assert r0 > n1, "test needs a non-identity remap (padding rows exist)"
+    kw = dict(dim=16, epochs=2, eval_every=0, k_neg=4, neg_every=2,
+              neg_mode="uniform", syn_n_ent=111, n_shards=4,
+              halo_grouped=True, use_rel_head=True, rel_k_neg=4)
+    r_a = fit_distributed(get_config("base", **kw), task=task)
+    kw["epochs"] = 6
+    r_b = fit_distributed(get_config("base", **kw), task=task)
+    pad_a = np.asarray(r_a.params["emb"])[n1:r0]
+    pad_b = np.asarray(r_b.params["emb"])[n1:r0]
+    np.testing.assert_array_equal(pad_a, pad_b)
+    # and training itself moved (the real rows differ between the runs)
+    assert not np.allclose(np.asarray(r_a.params["emb"])[:n1],
+                           np.asarray(r_b.params["emb"])[:n1])
 
 
 def test_halo_grouped_rejects_odd_shards():

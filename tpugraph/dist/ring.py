@@ -87,20 +87,26 @@ def ring_hits_at_k(
     def ranks_fn(q, cand, dt):
         return _ring_ranks_body(q, cand, dt, axis)
 
+    @jax.jit
+    def metrics_of(ranks):
+        """All hits@k + mrr scalars in one stacked replicated array — the
+        sharded rank vector spans non-addressable devices under
+        multi-process jax.distributed (a host fetch of it would fail —
+        caught by the 2-process fit_distributed rehearsal), and one bulk
+        fetch avoids len(ks)+1 sequential tunnel round-trips."""
+        valid = jnp.arange(ranks.shape[0]) < n
+        vals = [jnp.sum(jnp.where(valid, ranks < k, False)) / n for k in ks]
+        vals.append(jnp.sum(
+            jnp.where(valid, 1.0 / (ranks.astype(jnp.float32) + 1.0), 0.0)) / n)
+        return jnp.stack(vals)
+
     out = {}
     with mesh:
         for tag, q, cand in (("l2r", l, r), ("r2l", r, l)):
-            ranks = ranks_fn(q, cand, d_true)
-            # reduce to replicated scalars ON DEVICE: the sharded rank vector
-            # spans non-addressable devices under multi-process
-            # jax.distributed, so a host fetch of it would fail (caught by
-            # the 2-process fit_distributed rehearsal, round 3)
-            valid = jnp.arange(ranks.shape[0]) < n
-            for k in ks:
-                out[f"hits@{k}_{tag}"] = float(
-                    jnp.sum(jnp.where(valid, ranks < k, False)) / n)
-            out[f"mrr_{tag}"] = float(
-                jnp.sum(jnp.where(valid, 1.0 / (ranks.astype(jnp.float32) + 1.0), 0.0)) / n)
+            m = np.asarray(metrics_of(ranks_fn(q, cand, d_true)))
+            for k, v in zip(ks, m):
+                out[f"hits@{k}_{tag}"] = float(v)
+            out[f"mrr_{tag}"] = float(m[-1])
     for k in ks:
         out[f"hits@{k}"] = 0.5 * (out[f"hits@{k}_l2r"] + out[f"hits@{k}_r2l"])
     out["mrr"] = 0.5 * (out["mrr_l2r"] + out["mrr_r2l"])

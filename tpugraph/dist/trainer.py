@@ -309,15 +309,17 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
     else:
         halo = hg
     halo = jax.device_put(halo, NamedSharding(mesh, P("graph")))
+    # one remapped copy of the attribute triples feeds BOTH consumers (the
+    # AE incidence build and the attr-head batch source) — review r3 item 5
+    attr_rows = attr_all
+    if cfg.halo_grouped and attr_all is not None:
+        attr_rows = attr_all.copy()
+        attr_rows[:, 0] = row_of(attr_all[:, 0])
     attr_args = ()
     if use_ae:
         from tpugraph.sparse.halo_ell import build_attr_incidence_ell
 
-        attr_remapped = attr_all
-        if cfg.halo_grouped:
-            attr_remapped = attr_all.copy()
-            attr_remapped[:, 0] = row_of(attr_all[:, 0])
-        attr_inc = build_attr_incidence_ell(attr_remapped, n_pad, task.n_attr,
+        attr_inc = build_attr_incidence_ell(attr_rows, n_pad, task.n_attr,
                                             n_shards, hg.n_loc)
         attr_args = (jax.device_put(attr_inc, NamedSharding(mesh, P("graph"))),)
 
@@ -384,14 +386,14 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
         _rel[:, 0] = row_of(_rel[:, 0])
         _rel[:, 2] = row_of(_rel[:, 2])
     rel_triples = jax.device_put(jnp.asarray(_rel), repl)
-    if attr_all is not None:
-        _at = attr_all
-        if cfg.halo_grouped:
-            _at = _at.copy()
-            _at[:, 0] = row_of(_at[:, 0])
-        attr_triples = jax.device_put(jnp.asarray(_at), repl)
-    else:
-        attr_triples = None
+    attr_triples = (jax.device_put(jnp.asarray(attr_rows), repl)
+                    if attr_rows is not None else None)
+
+    def row_of_j(ids):
+        """jit-safe entity-id → row map (identity when ungrouped)."""
+        if not cfg.halo_grouped:
+            return ids
+        return jnp.where(ids < n1, ids, ids - n1 + r0)
 
     def head_losses(p, emb, batch):
         """MTL heads on the row-sharded encoder output (GSPMD inserts the
@@ -603,8 +605,13 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
         if cfg.use_rel_head:
             kt, kh = jax.random.split(ks[1])
             t = rel_triples.shape[0]
-            batch["rel_neg_t"] = jax.random.randint(kt, (t, cfg.rel_k_neg), 0, n, dtype=jnp.int32)
-            batch["rel_neg_h"] = jax.random.randint(kh, (t, cfg.rel_k_neg), 0, n, dtype=jnp.int32)
+            # corruptions drawn in ENTITY-id space then mapped to rows: under
+            # halo_grouped a raw [0, n) draw would hit KG1 padding rows and
+            # never reach the tail of KG2 (review r3 item 1)
+            batch["rel_neg_t"] = row_of_j(
+                jax.random.randint(kt, (t, cfg.rel_k_neg), 0, n, dtype=jnp.int32))
+            batch["rel_neg_h"] = row_of_j(
+                jax.random.randint(kh, (t, cfg.rel_k_neg), 0, n, dtype=jnp.int32))
         if cfg.use_attr_head:
             bs = min(8192, attr_triples.shape[0])
             idx = jax.random.randint(ks[2], (bs,), 0, attr_triples.shape[0], dtype=jnp.int32)
