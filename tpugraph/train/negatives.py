@@ -181,7 +181,14 @@ def _knn_query_blocked_approx(q, cands, exclude, k, metric, block_q: int = 4096,
         cidx = jax.lax.broadcasted_iota(jnp.int32, (block_q, c), 1)
         dmat = jnp.where(cidx == ex[:, None], jnp.inf, dmat)
         if prefilter_l1:
-            _, sidx = jax.lax.approx_min_k(dmat, k_short)
+            # recall_target=0.7 on the SHORTLIST selection only: measured
+            # 22× cheaper than the 0.95 default at k_short=200 over 82k
+            # candidates (13.4 → 0.6 ms; DESIGN.md §6c) — misses are
+            # replaced by near-misses, the exact-L1 rerank below still
+            # orders what's kept, and negatives are a sampling strategy.
+            # The direct sqeuclidean path (used by approx EVAL) keeps the
+            # 0.95 default — eval tolerance is a tested contract.
+            _, sidx = jax.lax.approx_min_k(dmat, k_short, recall_target=0.7)
             g = jnp.take(cands, sidx, axis=0)  # (block_q, k_short, d)
             d_l1 = pairwise_l1(qq[:, None, :], g).astype(jnp.float32)
             # re-mask the excluded partner (it may have entered the shortlist)
