@@ -152,7 +152,8 @@ def _ring_hubness_body(cand, qblk, qval, csls_k, metric, axis: str):
 
 
 def _ring_topk_body(q, cand, exclude_global, cand_offset0, k, axis: str,
-                    metric: str = "cityblock", r_blk=None):
+                    metric: str = "cityblock", r_blk=None,
+                    approx: bool = False):
     """Running smallest-k over ring-rotated candidate blocks.
 
     exclude_global: (B,) global candidate index to skip (true partner).
@@ -160,6 +161,11 @@ def _ring_topk_body(q, cand, exclude_global, cand_offset0, k, axis: str,
     rotation's offset is derived from the source device of the current block.
     r_blk: optional per-candidate CSLS hubness block rotating WITH cand —
     candidates are then ranked by 2·d − r(j) (hubness-corrected mining).
+    approx (no CSLS only): the MXU-prefiltered hop — shortlist 2k hop
+    candidates by sqeuclidean (matmul tile + cheap approx_min_k), score
+    only those exactly, merge a (k + 2k)-wide top-k instead of a
+    (k + B)-wide full sort.  The ring analog of the single-chip
+    _knn_query_blocked_approx prefilter (DESIGN.md §6c).
     """
     s = jax.lax.axis_size(axis)
     me = jax.lax.axis_index(axis)
@@ -167,18 +173,34 @@ def _ring_topk_body(q, cand, exclude_global, cand_offset0, k, axis: str,
     csls = r_blk is not None
     if not csls:
         r_blk = jnp.zeros((b,), jnp.float32)
+    use_prefilter = approx and not csls
+    k2 = min(b, max(2 * k, k + 8))
 
     def body(i, carry):
         vals, idxs, cand, rb = carry
         src_dev = (me - i) % s  # who originally owned the block we now hold
         off = cand_offset0 + (src_dev - me) * b
-        d = _dist_tile(q, cand, metric)
-        if csls:
-            d = 2.0 * d - rb[None, :]
         gidx = off + jax.lax.broadcasted_iota(jnp.int32, (q.shape[0], b), 1)
-        d = jnp.where(gidx == exclude_global[:, None], jnp.inf, d)
-        allv = jnp.concatenate([vals, d], axis=1)
-        alli = jnp.concatenate([idxs, gidx], axis=1)
+        if use_prefilter:
+            d2 = _dist_tile(q, cand, "sqeuclidean")
+            d2 = jnp.where(gidx == exclude_global[:, None], jnp.inf, d2)
+            _, spos = jax.lax.approx_min_k(d2, k2, recall_target=0.7)
+            sg = jnp.take_along_axis(gidx, spos.astype(jnp.int32), axis=1)
+            if metric == "cityblock":  # exact-metric rerank on the shortlist
+                g = jnp.take(cand, spos.astype(jnp.int32), axis=0)
+                d = pairwise_l1(q[:, None, :], g).astype(jnp.float32)
+            else:
+                d = jnp.take_along_axis(d2, spos.astype(jnp.int32), axis=1)
+            d = jnp.where(sg == exclude_global[:, None], jnp.inf, d)
+            allv = jnp.concatenate([vals, d], axis=1)
+            alli = jnp.concatenate([idxs, sg], axis=1)
+        else:
+            d = _dist_tile(q, cand, metric)
+            if csls:
+                d = 2.0 * d - rb[None, :]
+            d = jnp.where(gidx == exclude_global[:, None], jnp.inf, d)
+            allv = jnp.concatenate([vals, d], axis=1)
+            alli = jnp.concatenate([idxs, gidx], axis=1)
         negtop, pos = jax.lax.top_k(-allv, k)
         vals = -negtop
         idxs = jnp.take_along_axis(alli, pos, axis=1)
@@ -206,6 +228,7 @@ def ring_knn(
     *,
     metric: str = "cityblock",
     csls_k: int = 0,
+    approx: bool = False,
 ) -> jnp.ndarray:
     """Global k-NN indices into cands, computed ring-blockwise.
 
@@ -213,7 +236,9 @@ def ring_knn(
     candidate hubness r(j) comes from a FIRST ring pass (query blocks rotate
     past home candidate blocks with a running top-k), then rotates alongside
     its candidate block in the top-k pass.  Semantics match the single-device
-    blockwise_knn_l1(csls_k=...) (tests/test_ring.py)."""
+    blockwise_knn_l1(csls_k=...) (tests/test_ring.py).
+    ``approx`` (ignored with CSLS): MXU-prefiltered hops — see
+    _ring_topk_body; matches the single-device neg_approx semantics."""
     s_mesh = mesh.shape[axis]
     qn, d = q.shape
     c = cands.shape[0]
@@ -235,7 +260,8 @@ def ring_knn(
         me = jax.lax.axis_index(axis)
         rb = (_ring_hubness_body(cb, qb, qv, csls_k, metric, axis)
               if csls_k > 0 else None)
-        return _ring_topk_body(qb, cb, ex, me * b, k, axis, metric, rb)
+        return _ring_topk_body(qb, cb, ex, me * b, k, axis, metric, rb,
+                               approx=approx)
 
     with mesh:
         idxs = knn_fn(q, cands, exclude, qvalid)

@@ -529,9 +529,11 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
             cand_l = jax.lax.slice_in_dim(emb, 0, n1, axis=0)
             cand_r = jax.lax.slice_in_dim(emb, r0, r1, axis=0)
             neg_r = ring_knn(e_l, cand_r, pairs_t[:, 1] - r0, cfg.k_neg, mesh,
-                             metric=cfg.neg_metric, csls_k=cfg.neg_csls_k) + r0
+                             metric=cfg.neg_metric, csls_k=cfg.neg_csls_k,
+                             approx=cfg.neg_approx) + r0
             neg_l = ring_knn(e_r, cand_l, pairs_t[:, 0], cfg.k_neg, mesh,
-                             metric=cfg.neg_metric, csls_k=cfg.neg_csls_k)
+                             metric=cfg.neg_metric, csls_k=cfg.neg_csls_k,
+                             approx=cfg.neg_approx)
             return neg_l, neg_r
         return sample_hard_negatives(emb, pairs_t, n1, n, cfg.k_neg,
                                      metric=cfg.neg_metric, approx=cfg.neg_approx,
