@@ -71,10 +71,13 @@ def test_two_process_fit_distributed(tmp_path):
     outs = _spawn_workers(["fit", str(tmp_path / "mp_ckpt")], timeout=420)
     for out in outs:
         m = re.search(r"MP_FIT_OK proc=\d+ loss4=([-\d.]+) hits4=([-\d.]+) "
-                      r"loss6=([-\d.]+) hits6=([-\d.]+)", out)
+                      r"loss6=([-\d.]+) hits6=([-\d.]+) lossg=([-\d.]+)", out)
         assert m, f"no MP_FIT_OK line:\n{out[-2000:]}"
-        loss4, hits4, loss6, hits6 = map(float, m.groups())
+        loss4, hits4, loss6, hits6, lossg = map(float, m.groups())
         assert loss4 == pytest.approx(r4.metrics["final_loss"], rel=1e-3)
         assert hits4 == pytest.approx(r4.metrics["hits@1"], abs=0.02)
         assert loss6 == pytest.approx(r6.metrics["final_loss"], rel=1e-3)
         assert hits6 == pytest.approx(r6.metrics["hits@1"], abs=0.02)
+        # grouped exchange across the process boundary: identity remap on
+        # this task, so it must reproduce the ungrouped 4-epoch run
+        assert lossg == pytest.approx(r4.metrics["final_loss"], rel=1e-3)

@@ -101,7 +101,8 @@ def main():
     jax.distributed.shutdown()
 
 
-def fit_rehearsal_config(n_devices: int, ckpt_dir: str | None = None, epochs: int = 4):
+def fit_rehearsal_config(n_devices: int, ckpt_dir: str | None = None, epochs: int = 4,
+                         grouped: bool = False):
     """The pinned tiny config the multi-process rehearsal runs — shared with
     the single-process reference leg in tests/test_multiprocess.py so both
     sides stay identical by construction."""
@@ -111,7 +112,7 @@ def fit_rehearsal_config(n_devices: int, ckpt_dir: str | None = None, epochs: in
         "base", n_shards=n_devices, dim=16, epochs=epochs, eval_every=2,
         k_neg=4, neg_every=2, neg_mode="uniform", syn_n_ent=128,
         syn_n_triples=500, checkpoint_dir=ckpt_dir or "",
-        checkpoint_every=2,
+        checkpoint_every=2, halo_grouped=grouped,
     )
 
 
@@ -135,8 +136,14 @@ def _fit_mode(proc_id: int, num_procs: int, ckpt_dir: str):
     res2 = fit_distributed(fit_rehearsal_config(n_devices, ckpt_dir, epochs=6),
                            task=task)
     l2, h2 = res2.metrics["final_loss"], res2.metrics["hits@1"]
+    # component-grouped exchange across the PROCESS boundary — the grouped
+    # a2a's axis_index_groups span both processes here (its pod deployment
+    # shape); identity remap on this task, so loss == the ungrouped run
+    res_g = fit_distributed(fit_rehearsal_config(n_devices, grouped=True),
+                            task=task)
+    lg = res_g.metrics["final_loss"]
     print(f"MP_FIT_OK proc={proc_id} loss4={l1:.6f} hits4={h1:.4f} "
-          f"loss6={l2:.6f} hits6={h2:.4f}")
+          f"loss6={l2:.6f} hits6={h2:.4f} lossg={lg:.6f}")
 
 
 if __name__ == "__main__":
