@@ -66,7 +66,9 @@ def main():
         kw["sinkhorn_pairs"] = args.ot_pairs
     if args.fast:
         kw.update(steps_per_call=kw["neg_every"], neg_metric="sqeuclidean",
-                  neg_approx=True, eval_approx_k=128)
+                  neg_approx=True, eval_approx_k=128,
+                  boot_approx=True)  # MXU-prefiltered proposals (round 3:
+        # 40× the exact proposal pass at zh-en scale; headline-validated)
     cfg = get_config("base", param_dtype=args.dtype, **kw)
     if (cfg.use_sinkhorn or cfg.use_rel_head or cfg.use_attr_head
             or cfg.use_attr_channel):  # heads run through the MTL trainer

@@ -102,3 +102,54 @@ def test_fit_boot_fused_equals_unfused():
                __import__("jax").tree_util.tree_leaves(r2.params)]
     for a, b in zip(leaves1, leaves2):
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
+def test_propose_mutual_nn_pairs_approx_tracks_exact():
+    """MXU-prefiltered proposals (boot_approx): the proposed pair SET stays
+    close to the exact-L1 proposal set (mutual-NN + the confidence cap
+    tolerate top-1-recall misses)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpugraph.train.bootstrap import propose_mutual_nn_pairs
+
+    rng = np.random.default_rng(9)
+    n1, n2, d = 300, 320, 32
+    n = n1 + n2
+    # correlated halves so mutual-NNs actually exist
+    base = rng.standard_normal((n1, d)).astype(np.float32)
+    emb = np.concatenate([base, np.pad(base, ((0, n2 - n1), (0, 0)))
+                          + 0.15 * rng.standard_normal((n2, d)).astype(np.float32)])
+    m1 = np.ones(n1, bool)
+    m2 = np.ones(n2, bool)
+    cap = 64
+    pe, we = propose_mutual_nn_pairs(jnp.asarray(emb), jnp.asarray(m1),
+                                     jnp.asarray(m2), n1, n, cap)
+    pa, wa = propose_mutual_nn_pairs(jnp.asarray(emb), jnp.asarray(m1),
+                                     jnp.asarray(m2), n1, n, cap, approx=True)
+    se = {tuple(r) for r, w in zip(np.asarray(pe), np.asarray(we)) if w > 0}
+    sa = {tuple(r) for r, w in zip(np.asarray(pa), np.asarray(wa)) if w > 0}
+    assert len(se) > cap // 2  # the task actually proposes
+    overlap = len(se & sa) / max(len(se), 1)
+    assert overlap >= 0.7, overlap
+
+
+def test_fit_distributed_boot_approx_runs():
+    """boot_approx reaches the sharded trainer's proposal path: training
+    runs and tracks the exact-proposal run."""
+    import numpy as np
+    import pytest
+
+    from tpugraph.configs import get_config
+    from tpugraph.data.synthetic import synthetic_align_task
+    from tpugraph.dist.trainer import fit_distributed
+
+    task = synthetic_align_task(seed=35, n_ent=120, n_rel=5, n_triples=500)
+    kw = dict(dim=16, epochs=8, eval_every=4, k_neg=4, neg_every=4,
+              neg_mode="uniform", syn_n_ent=120, boot_cap=16, boot_start=4,
+              boot_weight=0.5, n_shards=4)
+    ra = fit_distributed(get_config("base", boot_approx=True, **kw), task=task)
+    re_ = fit_distributed(get_config("base", **kw), task=task)
+    assert np.isfinite(ra.metrics["final_loss"])
+    assert ra.metrics["final_loss"] == pytest.approx(
+        re_.metrics["final_loss"], rel=0.1)

@@ -48,6 +48,8 @@ class TrainConfig:
     neg_every: int = 5
     neg_mode: str = "hard"  # 'uniform' | 'hard'
     neg_approx: bool = False  # approx_min_k hard mining (fast; sampling-safe)
+    boot_approx: bool = False  # MXU-prefiltered mutual-NN proposals (bf16
+    # matmul shortlist + exact-L1 rerank; headline-validated — DESIGN.md §6c)
     neg_metric: str = "cityblock"  # hard-mining metric; 'sqeuclidean' rides the MXU (use at DWY100K scale)
     neg_csls_k: int = 0  # >0: CSLS hubness-corrected hard mining (2·d − cand-hubness)
 

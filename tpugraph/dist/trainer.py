@@ -544,7 +544,8 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
             emb = encode_emb(params, ec)
             return propose_mutual_nn_pairs(
                 emb, boot_mask1, boot_mask2, r0, r1, cfg.boot_cap,
-                metric=cfg.neg_metric, csls_k=cfg.boot_csls_k)
+                metric=cfg.neg_metric, csls_k=cfg.boot_csls_k,
+                approx=cfg.boot_approx)
 
         propose_boot_jit = jax.jit(propose_boot)
 

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from tpugraph.train.losses import pairwise_l1
 
 
-@partial(jax.jit, static_argnames=("block_c", "metric", "csls_k"))
+@partial(jax.jit, static_argnames=("block_c", "metric", "csls_k", "approx"))
 def _nn1(
     q: jnp.ndarray,  # (S, d) queries
     cands: jnp.ndarray,  # (C, d)
@@ -30,11 +30,22 @@ def _nn1(
     block_c: int = 1024,
     metric: str = "cityblock",
     csls_k: int = 0,
+    approx: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-query (score, index) of the nearest eligible candidate, blockwise.
 
     csls_k > 0 scores by 2·d − candidate-hubness (hubness over the full,
-    unmasked query pool — same convention as negatives.blockwise_knn_l1)."""
+    unmasked query pool — same convention as negatives.blockwise_knn_l1).
+
+    approx (cityblock, no CSLS): MXU-prefiltered — query-blocked bf16
+    matmul tiles shortlist 16 candidates per query (approx_min_k,
+    recall_target 0.7), then the exact L1 argmin runs within the shortlist
+    only; the proposal stage's exact-L1 full tiles were the cost
+    (DESIGN.md §6c family).  Mutual-NN + the confidence cap downstream
+    tolerate the ~top-1-recall misses (validated end-to-end on the
+    headline recipe)."""
+    if approx and csls_k == 0:
+        return _nn1_prefiltered(q, cands, c_mask, metric=metric)
     s, d = q.shape
     c = cands.shape[0]
     c_pad = ((c + block_c - 1) // block_c) * block_c
@@ -70,7 +81,47 @@ def _nn1(
     return vals, idx
 
 
-@partial(jax.jit, static_argnames=("n1", "n", "cap", "block_c", "metric", "csls_k"))
+@partial(jax.jit, static_argnames=("metric", "block_q", "k_short"))
+def _nn1_prefiltered(q, cands, c_mask, metric: str = "cityblock",
+                     block_q: int = 4096, k_short: int = 16):
+    """Nearest eligible candidate WITHIN an MXU-selected shortlist.  One
+    bf16 matmul tile + one cheap approx_min_k per query block; ineligible
+    candidates are masked BEFORE selection so the shortlist is
+    all-eligible.  cityblock: exact-L1 rerank over the shortlist;
+    sqeuclidean: the selection score IS the metric (fp32 recompute of the
+    shortlist entries for the returned value)."""
+    s, d = q.shape
+    c = cands.shape[0]
+    q_pad = ((s + block_q - 1) // block_q) * block_q
+    qp = jnp.concatenate([q, jnp.zeros((q_pad - s, d), q.dtype)])
+    qb = qp.reshape(q_pad // block_q, block_q, d)
+    cb16 = cands.astype(jnp.bfloat16)
+    c2 = jnp.sum(cands.astype(jnp.float32) ** 2, axis=1)
+
+    def body(_, qq):
+        q16 = qq.astype(jnp.bfloat16)
+        d2 = (jnp.sum(qq.astype(jnp.float32) ** 2, axis=1)[:, None] + c2[None, :]
+              - 2.0 * jnp.dot(q16, cb16.T, preferred_element_type=jnp.float32))
+        d2 = jnp.where(c_mask[None, :], d2, jnp.inf)
+        _, sidx = jax.lax.approx_min_k(d2, k_short, recall_target=0.7)
+        sidx = sidx.astype(jnp.int32)
+        g = jnp.take(cands, sidx, axis=0)  # (block_q, k_short, d)
+        if metric == "cityblock":
+            ds = pairwise_l1(qq[:, None, :], g).astype(jnp.float32)
+        else:  # fp32 sqeuclidean on the shortlist (bf16 tile was selection-only)
+            diff = qq[:, None, :].astype(jnp.float32) - g.astype(jnp.float32)
+            ds = jnp.sum(diff * diff, axis=-1)
+        ds = jnp.where(jnp.take(c_mask, sidx), ds, jnp.inf)
+        pos = jnp.argmin(ds, axis=1)
+        return None, (jnp.take_along_axis(ds, pos[:, None], 1)[:, 0],
+                      jnp.take_along_axis(sidx, pos[:, None], 1)[:, 0])
+
+    _, (vals, idx) = jax.lax.scan(body, None, qb)
+    return vals.reshape(q_pad)[:s], idx.reshape(q_pad)[:s]
+
+
+@partial(jax.jit, static_argnames=("n1", "n", "cap", "block_c", "metric",
+                                   "csls_k", "approx"))
 def propose_mutual_nn_pairs(
     emb: jnp.ndarray,  # (n, d) all entity embeddings (KG1 = [:n1], KG2 = [n1:n])
     mask1: jnp.ndarray,  # (n1,) bool — KG1 entities eligible (not in the seed set)
@@ -81,6 +132,7 @@ def propose_mutual_nn_pairs(
     block_c: int = 1024,
     metric: str = "cityblock",
     csls_k: int = 0,
+    approx: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Top-``cap`` most-confident mutual-NN pairs among eligible entities.
 
@@ -91,8 +143,8 @@ def propose_mutual_nn_pairs(
     """
     cand1 = jax.lax.slice_in_dim(emb, 0, n1, axis=0)
     cand2 = jax.lax.slice_in_dim(emb, n1, n, axis=0)
-    v12, i12 = _nn1(cand1, cand2, mask2, block_c, metric, csls_k)
-    _, i21 = _nn1(cand2, cand1, mask1, block_c, metric, csls_k)
+    v12, i12 = _nn1(cand1, cand2, mask2, block_c, metric, csls_k, approx)
+    _, i21 = _nn1(cand2, cand1, mask1, block_c, metric, csls_k, approx)
     mutual = mask1 & (jnp.take(i21, i12) == jnp.arange(n1, dtype=jnp.int32))
     score = jnp.where(mutual, v12, jnp.inf)
     k_eff = min(cap, n1)

@@ -140,7 +140,8 @@ def fit(
             emb = model.apply({"params": params}, op)
             return propose_mutual_nn_pairs(
                 emb, mask1, mask2, n1, n, cfg.boot_cap,
-                metric=cfg.neg_metric, csls_k=cfg.boot_csls_k)
+                metric=cfg.neg_metric, csls_k=cfg.boot_csls_k,
+                approx=cfg.boot_approx)
 
         propose_jit = jax.jit(propose)
 
