@@ -96,6 +96,10 @@ def main():
     mask1, mask2 = jnp.asarray(m1), jnp.asarray(m2)
     boot = jax.jit(lambda e: propose_mutual_nn_pairs(
         e, mask1, mask2, n1, n, 2500, metric="sqeuclidean", csls_k=0))
+    boot_l1 = jax.jit(lambda e: propose_mutual_nn_pairs(
+        e, mask1, mask2, n1, n, 2500, csls_k=0))  # recipe-default exact L1
+    boot_ap = jax.jit(lambda e: propose_mutual_nn_pairs(
+        e, mask1, mask2, n1, n, 2500, csls_k=0, approx=True))
 
     test_pairs = jnp.asarray(task.test_pairs)
     results = {}
@@ -104,6 +108,8 @@ def main():
     results["mine_exact_ms"] = timed(lambda: mine_exact(emb), reps=2) * 1e3
     results["mine_approx_ms"] = timed(lambda: mine_approx(emb)) * 1e3
     results["boot_propose_ms"] = timed(lambda: boot(emb)) * 1e3
+    results["boot_propose_l1_exact_ms"] = timed(lambda: boot_l1(emb), reps=2) * 1e3
+    results["boot_propose_approx_ms"] = timed(lambda: boot_ap(emb)) * 1e3
     results["eval_ms"] = timed(lambda: hits_at_k(emb, test_pairs), reps=2) * 1e3
     results["eval_csls_ms"] = timed(lambda: hits_at_k(emb, test_pairs, csls_k=10), reps=2) * 1e3
     # the --fast history-eval path (MXU-prefiltered shortlist), incl. the
