@@ -159,3 +159,27 @@ def test_head_losses_match_torch_oracle():
         l_attr_t = tah(torch.from_numpy(emb),
                        torch.from_numpy(attr_triples.astype(np.int64))).item()
     np.testing.assert_allclose(l_attr_j, l_attr_t, rtol=1e-5)
+
+
+def test_mtl_rejects_uncapped_ot_at_scale():
+    """The uncapped S x S OT cost matrix fails remote compile at 15k seeds
+    (measured round 3); fit_mtl must reject actionably instead."""
+    import numpy as np
+    import pytest
+
+    from tpugraph.configs import get_config
+    from tpugraph.sparse.graph import KG, AlignTask
+    from tpugraph.train.mtl import fit_mtl
+
+    rng = np.random.default_rng(0)
+    n = 200
+    tri = np.stack([rng.integers(0, n, 400), rng.integers(0, 4, 400),
+                    rng.integers(0, n, 400)], 1)
+    big_pairs = np.stack([rng.integers(0, n, 9000),
+                          n + rng.integers(0, n, 9000)], 1)
+    task = AlignTask(kg1=KG(n_ent=n, n_rel=4, triples=tri),
+                     kg2=KG(n_ent=n, n_rel=4, triples=tri),
+                     train_pairs=big_pairs, test_pairs=big_pairs[:10])
+    cfg = get_config("sinkhorn", epochs=1, eval_every=0)
+    with pytest.raises(ValueError, match="sinkhorn_pairs"):
+        fit_mtl(cfg, task=task)

@@ -48,6 +48,15 @@ def fit_mtl(cfg: TrainConfig, task: AlignTask | None = None, verbose: bool = Fal
     attr_all = task.merged_attr_triples
     if (cfg.use_attr_head or cfg.use_attr_channel) and (attr_all is None or task.n_attr == 0):
         raise ValueError("attribute head/channel enabled but the task has no attribute triples")
+    if cfg.use_sinkhorn and cfg.sinkhorn_pairs == 0 and len(task.train_pairs) > 8192:
+        # the uncapped S×S OT cost matrix at 15k seeds fails the remote
+        # compiler outright (measured round 3) and wastes memory well before
+        # that; fail actionably rather than deep inside compilation
+        raise ValueError(
+            f"use_sinkhorn with {len(task.train_pairs)} seed pairs needs "
+            f"sinkhorn_pairs set (e.g. 4096): the uncapped "
+            f"{len(task.train_pairs)}x{len(task.train_pairs)} OT cost matrix "
+            f"does not compile at this scale")
     attr_op = None
     if cfg.use_attr_channel:
         from tpugraph.models.attr_channel import build_attr_operator
