@@ -160,3 +160,27 @@ def test_fit_distributed_ring_approx_mining_runs():
     assert ra.metrics["final_loss"] == pytest.approx(
         re_.metrics["final_loss"], rel=0.05)
     assert ra.metrics["hits@1"] == pytest.approx(re_.metrics["hits@1"], abs=0.15)
+
+
+def test_ring_knn_approx_csls_tracks_exact():
+    """approx + CSLS on the ring: exact tile (incl. hubness), approx
+    hop-local selection — no longer a silent fall-through to the full-sort
+    path (review r3 second pass)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from tpugraph.dist.ring import ring_knn
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8, 1), ("graph", "feature"))
+    rng = np.random.default_rng(6)
+    q = jnp.asarray(rng.standard_normal((96, 16)).astype(np.float32))
+    c = jnp.asarray(rng.standard_normal((640, 16)).astype(np.float32))
+    ex = jnp.asarray(rng.integers(0, 640, 96), dtype=jnp.int32)
+    k = 8
+    exact = np.asarray(ring_knn(q, c, ex, k, mesh, csls_k=5))
+    ap = np.asarray(ring_knn(q, c, ex, k, mesh, csls_k=5, approx=True))
+    rec = np.mean([len(set(a) & set(b)) / k for a, b in zip(exact, ap)])
+    assert rec >= 0.8, rec
+    assert not (ap == np.asarray(ex)[:, None]).any()

@@ -174,7 +174,12 @@ def _ring_topk_body(q, cand, exclude_global, cand_offset0, k, axis: str,
     if not csls:
         r_blk = jnp.zeros((b,), jnp.float32)
     use_prefilter = approx and not csls
+    # approx + CSLS: the tile stays exact (incl. the hubness term — same as
+    # the single-chip _knn_query_blocked_approx), but the hop-local top-k is
+    # an approx_min_k and the merge is (k + k)-wide instead of (k + B)-wide
+    use_approx_select = approx and csls
     k2 = min(b, max(2 * k, k + 8))
+    k_sel = min(b, k)
 
     def body(i, carry):
         vals, idxs, cand, rb = carry
@@ -199,8 +204,14 @@ def _ring_topk_body(q, cand, exclude_global, cand_offset0, k, axis: str,
             if csls:
                 d = 2.0 * d - rb[None, :]
             d = jnp.where(gidx == exclude_global[:, None], jnp.inf, d)
-            allv = jnp.concatenate([vals, d], axis=1)
-            alli = jnp.concatenate([idxs, gidx], axis=1)
+            if use_approx_select:
+                dv, spos = jax.lax.approx_min_k(d, k_sel)
+                sg = jnp.take_along_axis(gidx, spos.astype(jnp.int32), axis=1)
+                allv = jnp.concatenate([vals, dv], axis=1)
+                alli = jnp.concatenate([idxs, sg], axis=1)
+            else:
+                allv = jnp.concatenate([vals, d], axis=1)
+                alli = jnp.concatenate([idxs, gidx], axis=1)
         negtop, pos = jax.lax.top_k(-allv, k)
         vals = -negtop
         idxs = jnp.take_along_axis(alli, pos, axis=1)

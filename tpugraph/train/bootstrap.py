@@ -92,6 +92,7 @@ def _nn1_prefiltered(q, cands, c_mask, metric: str = "cityblock",
     shortlist entries for the returned value)."""
     s, d = q.shape
     c = cands.shape[0]
+    k_short = min(c, k_short)  # tiny-graph guard: approx_min_k needs k < C
     q_pad = ((s + block_q - 1) // block_q) * block_q
     qp = jnp.concatenate([q, jnp.zeros((q_pad - s, d), q.dtype)])
     qb = qp.reshape(q_pad // block_q, block_q, d)

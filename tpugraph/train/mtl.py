@@ -48,15 +48,21 @@ def fit_mtl(cfg: TrainConfig, task: AlignTask | None = None, verbose: bool = Fal
     attr_all = task.merged_attr_triples
     if (cfg.use_attr_head or cfg.use_attr_channel) and (attr_all is None or task.n_attr == 0):
         raise ValueError("attribute head/channel enabled but the task has no attribute triples")
-    if cfg.use_sinkhorn and cfg.sinkhorn_pairs == 0 and len(task.train_pairs) > 8192:
-        # the uncapped S×S OT cost matrix at 15k seeds fails the remote
-        # compiler outright (measured round 3) and wastes memory well before
-        # that; fail actionably rather than deep inside compilation
-        raise ValueError(
-            f"use_sinkhorn with {len(task.train_pairs)} seed pairs needs "
-            f"sinkhorn_pairs set (e.g. 4096): the uncapped "
-            f"{len(task.train_pairs)}x{len(task.train_pairs)} OT cost matrix "
-            f"does not compile at this scale")
+    if cfg.use_sinkhorn:
+        # effective OT problem size: the cap only bites when it is set AND
+        # smaller than the seed count (review r3: a 10k cap on 15k seeds
+        # bypassed the original ==0 check and still died in remote compile)
+        n_seed = len(task.train_pairs)
+        ot_eff = min(cfg.sinkhorn_pairs, n_seed) if cfg.sinkhorn_pairs > 0 else n_seed
+        if ot_eff > 8192:
+            # the S×S OT cost matrix above ~8k fails the remote compiler
+            # outright (measured round 3) and wastes memory well before
+            # that; fail actionably rather than deep inside compilation
+            raise ValueError(
+                f"use_sinkhorn with an effective OT problem of {ot_eff} pairs "
+                f"(seeds={n_seed}, sinkhorn_pairs={cfg.sinkhorn_pairs}) does "
+                f"not compile at this scale — set sinkhorn_pairs <= 8192 "
+                f"(e.g. 4096)")
     attr_op = None
     if cfg.use_attr_channel:
         from tpugraph.models.attr_channel import build_attr_operator
@@ -97,7 +103,8 @@ def fit_mtl(cfg: TrainConfig, task: AlignTask | None = None, verbose: bool = Fal
                               method=model.embed)
             return propose_mutual_nn_pairs(
                 emb, boot_mask1, boot_mask2, n1, n, cfg.boot_cap,
-                metric=cfg.neg_metric, csls_k=cfg.boot_csls_k)
+                metric=cfg.neg_metric, csls_k=cfg.boot_csls_k,
+                approx=cfg.boot_approx)
 
     def make_batch(key, params=None, epoch=None):
         """params=None → init-time probe: uniform negatives + placeholder
