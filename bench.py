@@ -10,8 +10,15 @@ parity oracle (torch.sparse COO spmm fwd+bwd on this machine) on the same
 graph and feature dim — the only measurable stand-in for the reference's
 torch.spmm path.
 
-One fwd+bwd pass counts nnz edges (not 2·nnz); both sides use the identical
-formula, so the ratio is unaffected.
+Edge-op convention: ONE fwd+bwd pass counts nnz edges (not 2·nnz) — the
+single definition shared with the trainers' ``edges_per_s`` logs
+(tpugraph/train/metrics.py::epoch_edge_ops, VERDICT r3 weak #2); both sides
+of every ratio use the identical formula.  ``vs_gather_roofline`` is the
+achieved fraction of the measured pure-gather ceiling: a chained
+data-dependent ``jnp.take`` over the SpMM's OWN fwd+bwd index pattern, timed
+in the same run — the kernel is gather-rate bound (DESIGN.md §3), so a real
+regression shows up as this ratio dropping even when host-load noise moves
+the headline.
 
 Graph: synthetic DBP15K-zh-en-scale merged KG pair (~164k entities, ~390k
 relation triples → ~0.95M directed message edges + self-loops), d=128.
@@ -82,6 +89,32 @@ def bench_jax(task) -> tuple[float, int]:
     wall = time.perf_counter() - t0
     ell_eps = op.nnz * JAX_ITERS / wall
 
+    # pure-gather roofline on the IDENTICAL index pattern (fwd + bwd bucket
+    # indices; the gather-free diagonal part is excluded from both sides):
+    # chained so the remote-dispatch latency amortizes exactly like the SpMM
+    # chain does (un-chained gather timings are unreliable here, DESIGN §3)
+    idx_all = np.concatenate(
+        [np.asarray(b.idx).reshape(-1) for m in (op.fwd, op.bwd) for b in m.buckets])
+    jidx = jnp.asarray(idx_all)
+    n_rows = x.shape[0]
+
+    @jax.jit
+    def gstep(x):
+        g = jnp.take(x, jidx, axis=0)  # the hot random traffic, nothing else
+        # data-dependent chain via a contiguous (cheap) row slice
+        return jax.lax.dynamic_slice_in_dim(g, 0, n_rows, 0)
+
+    gstep(x).block_until_ready()
+    t0 = time.perf_counter()
+    xc = x
+    for _ in range(JAX_ITERS):
+        xc = gstep(xc)
+    xc.block_until_ready()
+    g_wall = time.perf_counter() - t0
+    # same edge-op formula: the SpMM does one fwd+bwd pass (= nnz edge-ops)
+    # per `wall/ITERS`; the gather ceiling allows one per `g_wall/ITERS`
+    roofline_eps = op.nnz * JAX_ITERS / g_wall
+
     # same-chip alternative-impl ratio (VERDICT r2 weak #6: the decision-
     # relevant ratio must ride along wherever the torch-CPU one is quoted):
     # the sorted take+segment_sum path on the identical graph/dtype
@@ -105,7 +138,7 @@ def bench_jax(task) -> tuple[float, int]:
         xc = step_s(xc)
     xc.block_until_ready()
     xla_eps = op_s.nnz * iters_s / (time.perf_counter() - t0)
-    return ell_eps, op.nnz, ell_eps / xla_eps
+    return ell_eps, op.nnz, ell_eps / xla_eps, ell_eps / roofline_eps
 
 
 def bench_torch(task) -> float:
@@ -134,7 +167,7 @@ def bench_torch(task) -> float:
 
 def main():
     task = build_graph()
-    jax_eps, nnz, vs_xla = bench_jax(task)
+    jax_eps, nnz, vs_xla, vs_roofline = bench_jax(task)
     torch_eps = bench_torch(task)
     print(json.dumps({
         "metric": "spmm_fwd_bwd_edges_per_s_per_chip",
@@ -145,6 +178,9 @@ def main():
         # same-chip ratio vs the sorted XLA take+segment_sum fallback — the
         # decision-relevant impl comparison (DESIGN.md §2/§3)
         "vs_xla_spmm_same_chip": round(vs_xla, 3),
+        # achieved fraction of the measured same-run pure-gather ceiling on
+        # the identical index pattern (regression guard, VERDICT r3 weak #6)
+        "vs_gather_roofline": round(vs_roofline, 3),
     }))
 
 

@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--dim", type=int, default=256)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--reps", type=int, default=8)
+    ap.add_argument("--approx-k", type=int, default=64,
+                    help="MXU-prefiltered shortlist size (round 4 rows)")
     ap.add_argument("--chain", type=int, default=10)
     args = ap.parse_args()
 
@@ -50,17 +52,18 @@ def main():
     q_ids = np.arange(args.n_query, dtype=np.int32)
     c_ids = np.arange(args.n_left, n, dtype=np.int32)
 
-    for csls_k in (0, 10):
-        # cold: compile + first answer (fresh static config per csls_k)
+    for csls_k, approx_k in ((0, 0), (10, 0), (0, args.approx_k), (10, args.approx_k)):
+        # cold: compile + first answer (fresh static config per combo)
         t0 = time.perf_counter()
-        vals, ids = topk_alignments(emb, q_ids, c_ids, k=args.k, csls_k=csls_k)
+        vals, ids = topk_alignments(emb, q_ids, c_ids, k=args.k, csls_k=csls_k,
+                                    approx_k=approx_k)
         cold_s = time.perf_counter() - t0
 
         # warm end-to-end: full python call incl. host readback
         t0 = time.perf_counter()
         for _ in range(args.reps):
             vals, ids = topk_alignments(emb, q_ids, c_ids, k=args.k,
-                                        csls_k=csls_k)
+                                        csls_k=csls_k, approx_k=approx_k)
         warm_ms = (time.perf_counter() - t0) / args.reps * 1e3
 
         # device-only: chain N queries in one jit, single sync, null-subtract
@@ -77,7 +80,8 @@ def main():
         @jax.jit
         def chained(e, qi, ci):
             def body(acc, i):
-                v, _ = _topk_query(e + 1e-6 * i, qi, ci, args.k, 2048, csls_k)
+                v, _ = _topk_query(e + 1e-6 * i, qi, ci, args.k, 2048, csls_k,
+                                   approx_k)
                 return acc + jnp.sum(v), None
             acc, _ = jax.lax.scan(body, jnp.float32(0),
                                   jnp.arange(args.chain, dtype=jnp.float32))
@@ -92,7 +96,7 @@ def main():
 
         print(json.dumps({
             "n_query": args.n_query, "n_cand": args.n_right, "d": args.dim,
-            "k": args.k, "csls_k": csls_k,
+            "k": args.k, "csls_k": csls_k, "approx_k": approx_k,
             "cold_s": round(cold_s, 2),
             "warm_e2e_ms": round(warm_ms, 1),
             "device_ms": round(dev_ms, 2),

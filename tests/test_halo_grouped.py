@@ -235,3 +235,28 @@ def test_halo_grouped_rejects_odd_shards():
                      syn_n_triples=200)
     with pytest.raises(ValueError, match="even n_shards"):
         fit_distributed(cfg)
+
+
+def test_halo_grouped_checkpoint_layout_enforced(tmp_path):
+    """ADVICE r3 item 1: with equal-sized KGs the grouped and ungrouped row
+    layouts have IDENTICAL padded shapes (here both (256, d)), so Orbax's
+    shape check cannot catch a restore across the flag — the layout stamp
+    must.  A matching-layout resume keeps working."""
+    from tpugraph.configs import get_config
+    from tpugraph.data.synthetic import synthetic_align_task
+    from tpugraph.dist.trainer import fit_distributed
+
+    task = synthetic_align_task(seed=37, n_ent=128, n_rel=5, n_triples=500)
+    ckdir = str(tmp_path / "ck")
+    kw = dict(dim=16, epochs=4, eval_every=0, k_neg=4, neg_every=2,
+              neg_mode="uniform", syn_n_ent=128, n_shards=4,
+              checkpoint_dir=ckdir, checkpoint_every=2)
+    fit_distributed(get_config("base", halo_grouped=True, **kw), task=task)
+    # cross-layout restore: same padded shape, permuted KG2 rows -> raise
+    with pytest.raises(ValueError, match="row layout"):
+        fit_distributed(get_config("base", halo_grouped=False,
+                                   **{**kw, "epochs": 6}), task=task)
+    # same-layout restore-continue still works
+    r = fit_distributed(get_config("base", halo_grouped=True,
+                                   **{**kw, "epochs": 6}), task=task)
+    assert np.isfinite(r.metrics["final_loss"])

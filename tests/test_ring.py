@@ -184,3 +184,52 @@ def test_ring_knn_approx_csls_tracks_exact():
     rec = np.mean([len(set(a) & set(b)) / k for a, b in zip(exact, ap)])
     assert rec >= 0.8, rec
     assert not (ap == np.asarray(ex)[:, None]).any()
+
+
+def test_ring_hits_csls_matches_blockwise_eval():
+    """Ring CSLS eval (hubness ring pass + 2·d − r(j) rank counting) ≡ the
+    single-chip hits_at_k(csls_k>0) — closes VERDICT r3 missing #1: every
+    adopted v3+ recipe pins eval_csls_k=10 and the ring path dropped it."""
+    import jax.numpy as jnp
+
+    from tpugraph.dist.ring import ring_hits_at_k
+    from tpugraph.train.eval import hits_at_k
+
+    rng = np.random.default_rng(7)
+    n_ent, d, s = 300, 16, 83  # deliberately not divisible by 8
+    emb = rng.standard_normal((n_ent, d)).astype(np.float32)
+    emb[150:160] *= 0.05  # hub rows: CSLS must demote them
+    emb = jnp.asarray(emb)
+    pairs = np.stack([rng.choice(150, s, replace=False),
+                      150 + rng.choice(150, s, replace=False)], axis=1).astype(np.int32)
+    want = hits_at_k(emb, jnp.asarray(pairs), block_c=64, csls_k=7)
+    got = ring_hits_at_k(emb, pairs, _mesh(), csls_k=7)
+    for k in ("hits@1", "hits@10", "mrr", "hits@1_l2r", "mrr_r2l"):
+        assert got[k] == pytest.approx(want[k], abs=1e-6), k
+    # and CSLS actually changes the answer on this hub-heavy pool
+    raw = ring_hits_at_k(emb, pairs, _mesh())
+    assert any(abs(raw[k] - got[k]) > 1e-6 for k in ("hits@1", "hits@10"))
+
+
+@pytest.mark.parametrize("csls_k", [0, 7])
+def test_ring_hits_approx_tracks_exact(csls_k):
+    """MXU-prefiltered ring eval (approx_k>0): tracks the exact ring eval
+    within the same 0.02 tolerance contract as the single-chip approx path
+    (tests/test_eval_approx.py) — VERDICT r3 next #6."""
+    import jax.numpy as jnp
+
+    from tpugraph.dist.ring import ring_hits_at_k
+
+    rng = np.random.default_rng(8)
+    n_ent, d, s = 400, 16, 120
+    base = rng.standard_normal((200, d)).astype(np.float32)
+    emb = np.concatenate(
+        [base, base + 0.3 * rng.standard_normal((200, d)).astype(np.float32)])
+    emb[200:208] *= 0.05  # hubs
+    emb = jnp.asarray(emb)
+    pairs = np.stack([rng.choice(200, s, replace=False),
+                      200 + rng.choice(200, s, replace=False)], 1).astype(np.int32)
+    exact = ring_hits_at_k(emb, pairs, _mesh(), csls_k=csls_k)
+    ap = ring_hits_at_k(emb, pairs, _mesh(), csls_k=csls_k, approx_k=16)
+    for k in ("hits@1", "hits@10", "mrr"):
+        assert ap[k] == pytest.approx(exact[k], abs=0.02), (k, csls_k)

@@ -1,6 +1,7 @@
 """Serving path: top-k alignment queries + export + embedding round-trip."""
 
 import numpy as np
+import pytest
 
 
 def test_topk_alignments_exact():
@@ -127,3 +128,59 @@ def test_distributed_save_emb(tmp_path):
     fit_distributed(cfg, task=task)
     emb = load_embeddings(str(tmp_path / "emb"))
     assert emb.shape == (task.n_ent, 16)
+
+
+def test_topk_alignments_approx_tracks_exact():
+    """MXU-prefiltered serving (approx_k>0, VERDICT r3 weak #3): the top-k
+    id sets track the exact path closely, rows stay sorted best-first, and
+    raw-L1 scores for shared ids are the EXACT L1 values (the rerank is
+    exact within the shortlist)."""
+    import jax.numpy as jnp
+
+    from tpugraph.serve import topk_alignments
+
+    rng = np.random.default_rng(9)
+    n1, n2, d = 150, 180, 16
+    base = rng.standard_normal((n1, d)).astype(np.float32)
+    emb = np.concatenate([base, np.pad(base, ((0, n2 - n1), (0, 0)))
+                          + 0.2 * rng.standard_normal((n2, d)).astype(np.float32)])
+    q_ids = np.arange(n1)
+    c_ids = n1 + np.arange(n2)
+    k = 5
+    ve, ie = topk_alignments(jnp.asarray(emb), q_ids, c_ids, k=k, block_c=32)
+    va, ia = topk_alignments(jnp.asarray(emb), q_ids, c_ids, k=k, approx_k=32)
+    assert (np.diff(va, axis=1) >= 0).all()  # sorted best-first
+    overlap = np.mean([len(set(a) & set(b)) / k for a, b in zip(ie, ia)])
+    assert overlap >= 0.9, overlap
+    # shared ids carry identical exact-L1 scores
+    for r in range(0, n1, 30):
+        m_e = {c: v for c, v in zip(ie[r], ve[r])}
+        for c, v in zip(ia[r], va[r]):
+            if c in m_e:
+                assert v == pytest.approx(m_e[c], rel=1e-5)
+
+
+def test_topk_alignments_approx_csls_tracks_exact():
+    """approx_k + csls_k: sq-CSLS shortlist selection + approx-L1-CSLS
+    rerank — hub candidates stay demoted, top-1 tracks the exact CSLS path."""
+    import jax.numpy as jnp
+
+    from tpugraph.serve import topk_alignments
+
+    rng = np.random.default_rng(10)
+    n1, n2, d = 150, 180, 16
+    base = rng.standard_normal((n1, d)).astype(np.float32)
+    emb = np.concatenate([base, np.pad(base, ((0, n2 - n1), (0, 0)))
+                          + 0.2 * rng.standard_normal((n2, d)).astype(np.float32)])
+    emb[n1:n1 + 6] *= 0.05  # hubs
+    q_ids = np.arange(n1)
+    c_ids = n1 + np.arange(n2)
+    k = 5
+    _, ie = topk_alignments(jnp.asarray(emb), q_ids, c_ids, k=k, block_c=32,
+                            csls_k=5)
+    _, ia = topk_alignments(jnp.asarray(emb), q_ids, c_ids, k=k, csls_k=5,
+                            approx_k=32)
+    top1_match = np.mean(ie[:, 0] == ia[:, 0])
+    assert top1_match >= 0.9, top1_match
+    overlap = np.mean([len(set(a) & set(b)) / k for a, b in zip(ie, ia)])
+    assert overlap >= 0.8, overlap

@@ -49,7 +49,9 @@ class TrainConfig:
     neg_mode: str = "hard"  # 'uniform' | 'hard'
     neg_approx: bool = False  # approx_min_k hard mining (fast; sampling-safe)
     boot_approx: bool = False  # MXU-prefiltered mutual-NN proposals (bf16
-    # matmul shortlist + exact-L1 rerank; headline-validated — DESIGN.md §6c)
+    # matmul shortlist + exact-L1 rerank; headline-validated — DESIGN.md §6c).
+    # Composes with boot_csls_k > 0: shortlist selected by the sqeuclidean
+    # CSLS score, reranked by the approx-L1 CSLS score (train/bootstrap.py)
     neg_metric: str = "cityblock"  # hard-mining metric; 'sqeuclidean' rides the MXU (use at DWY100K scale)
     neg_csls_k: int = 0  # >0: CSLS hubness-corrected hard mining (2·d − cand-hubness)
 
@@ -100,8 +102,8 @@ class TrainConfig:
     # two KGs onto disjoint halves of the 'graph' axis (row-remapped ids) and
     # all_to_all within each half only — ~2x fewer padded exchange rows on the
     # block-diagonal merged graph (DESIGN.md §5 (c)); requires even n_shards.
-    # The flag is part of the partition geometry: checkpoints do not restore
-    # across a halo_grouped change (row layout differs).
+    # The flag is part of the partition geometry: checkpoints stamp the row
+    # layout and restore RAISES across a halo_grouped change (dist/trainer.py).
 
     # --- observability ---
     metrics_path: str | None = None  # JSONL sink

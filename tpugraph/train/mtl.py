@@ -20,7 +20,7 @@ from tpugraph.sparse.build import build_adjacency
 from tpugraph.sparse.graph import AlignTask
 from tpugraph.train.eval import hits_at_k
 from tpugraph.train.loop import TrainResult, load_task
-from tpugraph.train.metrics import MetricsLogger
+from tpugraph.train.metrics import MetricsLogger, epoch_edge_ops
 from tpugraph.train.negatives import sample_hard_negatives, sample_uniform_negatives
 
 
@@ -251,9 +251,13 @@ def fit_mtl(cfg: TrainConfig, task: AlignTask | None = None, verbose: bool = Fal
         if cfg.eval_every and (last % cfg.eval_every < steps or last >= cfg.epochs - 1):
             m = hits_at_k(embed(params), jnp.asarray(task.test_pairs),
                           csls_k=cfg.eval_csls_k, approx_k=cfg.eval_approx_k)
+            wall = time.perf_counter() - t_start
             rec = {
                 "epoch": last,
-                "wall_s": round(time.perf_counter() - t_start, 3),
+                "wall_s": round(wall, 3),
+                "edges_per_s": round(
+                    epoch_edge_ops(op.nnz, cfg.use_attr_channel) * (last + 1)
+                    / max(wall, 1e-9), 1),
                 **{f"loss_{k}": float(v) for k, v in aux.items()},
                 **{k: round(v, 4) for k, v in m.items()},
             }
