@@ -101,8 +101,12 @@ def bench_jax(task) -> tuple[float, int]:
     @jax.jit
     def gstep(x):
         g = jnp.take(x, jidx, axis=0)  # the hot random traffic, nothing else
-        # data-dependent chain via a contiguous (cheap) row slice
-        return jax.lax.dynamic_slice_in_dim(g, 0, n_rows, 0)
+        # data-dependent chain via a contiguous (cheap) row slice.  The mean
+        # term consumes EVERY gathered row — with the slice alone XLA is
+        # free to gather only the sliced rows (dead-row elimination), which
+        # silently over-reports the ceiling.
+        head = jax.lax.dynamic_slice_in_dim(g, 0, n_rows, 0)
+        return head + jnp.mean(g.astype(jnp.float32), axis=0).astype(x.dtype)
 
     gstep(x).block_until_ready()
     t0 = time.perf_counter()

@@ -260,3 +260,28 @@ def test_halo_grouped_checkpoint_layout_enforced(tmp_path):
     r = fit_distributed(get_config("base", halo_grouped=True,
                                    **{**kw, "epochs": 6}), task=task)
     assert np.isfinite(r.metrics["final_loss"])
+
+
+def test_fit_distributed_halo_grouped_attr_channel_csls_eval():
+    """Round-4 cross-term: component-grouped exchange × the GCN-Align AE
+    channel × CSLS ring eval.  The AE incidence rows and attr-head batches
+    are remapped through row_of; the CSLS eval runs on the grouped row
+    space; grouped ≡ ungrouped on an evenly-divisible task (identity
+    remap)."""
+    from tpugraph.configs import get_config
+    from tpugraph.data.synthetic import synthetic_align_task
+    from tpugraph.dist.trainer import fit_distributed
+
+    task = synthetic_align_task(seed=47, n_ent=128, n_rel=5, n_triples=500,
+                                n_attr=16)
+    kw = dict(dim=16, epochs=6, eval_every=3, k_neg=4, neg_every=3,
+              neg_mode="uniform", syn_n_ent=128, n_shards=4,
+              use_attr_channel=True, attr_beta=0.8, eval_csls_k=5)
+    rg = fit_distributed(get_config("base", halo_grouped=True, **kw), task=task)
+    ru = fit_distributed(get_config("base", **kw), task=task)
+    assert rg.history[-1]["loss_margin"] == pytest.approx(
+        ru.history[-1]["loss_margin"], rel=1e-3)
+    assert rg.history[-1]["loss_ae"] == pytest.approx(
+        ru.history[-1]["loss_ae"], rel=1e-3)
+    assert rg.metrics["hits@1"] == pytest.approx(ru.metrics["hits@1"], abs=1e-6)
+    assert rg.metrics["mrr"] == pytest.approx(ru.metrics["mrr"], abs=1e-6)

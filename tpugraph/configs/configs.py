@@ -31,7 +31,9 @@ class TrainConfig:
     # --- graph build ---
     weighting: str = "uniform"  # 'uniform' | 'funifun'
     norm: str = "sym"  # 'sym' | 'rw' | 'none'
-    pad_bucket: int = 8192
+    pad_bucket: int = 8192  # single-device operator padding granularity;
+    # the distributed trainer's edge partitioner sizes its own per-shard
+    # padding from the partition geometry and does not read this knob
 
     # --- model ---
     dim: int = 128
