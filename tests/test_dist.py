@@ -546,3 +546,23 @@ def test_fit_distributed_csls_eval_matches_single_device(approx_k):
                                        **{**kw, "eval_csls_k": 0}), task=task)
     assert any(abs(r_raw.metrics[k] - r8.metrics[k]) > 1e-9
                for k in ("mrr", "hits@1", "hits@10"))
+
+
+def test_fit_distributed_ot_subsample_slice_cross():
+    """Cross-term: sinkhorn_pairs × slice-DP (3-D mesh).  The OT subsample
+    feeds the graph-axis ring and is deliberately NOT slice-sharded; the
+    sliced run must reproduce the unsliced one exactly."""
+    from tpugraph.configs import get_config
+    from tpugraph.data.synthetic import synthetic_align_task
+    from tpugraph.dist.trainer import fit_distributed
+
+    task = synthetic_align_task(seed=45, n_ent=120, n_rel=5, n_triples=500)
+    kw = dict(dim=16, epochs=6, eval_every=6, k_neg=4, neg_every=3,
+              neg_mode="uniform", syn_n_ent=120, use_sinkhorn=True,
+              sinkhorn_iters=4, sinkhorn_pairs=16, n_shards=2)
+    r0 = fit_distributed(get_config("sinkhorn", slice_shards=1, **kw), task=task)
+    r2 = fit_distributed(get_config("sinkhorn", slice_shards=2, **kw), task=task)
+    assert r0.history[-1]["loss_sinkhorn"] == pytest.approx(
+        r2.history[-1]["loss_sinkhorn"], rel=1e-3)
+    np.testing.assert_allclose(np.asarray(r0.params["emb"]),
+                               np.asarray(r2.params["emb"]), rtol=1e-4, atol=1e-6)

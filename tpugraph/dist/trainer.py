@@ -652,14 +652,6 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
         else:
             neg_l, neg_r = negs_uniform()
         batch = {"pairs": pairs_t, "w": w, "neg_l": neg_l, "neg_r": neg_r}
-        if cfg.use_sinkhorn and 0 < cfg.sinkhorn_pairs < pairs.shape[0]:
-            # key-deterministic per-interval OT seed subsample — identical on
-            # every host (SURVEY.md §7 hard part 6), static shape, drawn from
-            # the SEED pairs only (the Sinkhorn head stays on seeds, as in
-            # train/mtl.py make_batch)
-            sub = jax.random.choice(ks[3], pairs.shape[0],
-                                    (cfg.sinkhorn_pairs,), replace=False)
-            batch["ot_pairs"] = jnp.take(pairs, sub, axis=0)
         if cfg.use_rel_head:
             kt, kh = jax.random.split(ks[1])
             t = rel_triples.shape[0]
@@ -674,7 +666,18 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
             bs = min(8192, attr_triples.shape[0])
             idx = jax.random.randint(ks[2], (bs,), 0, attr_triples.shape[0], dtype=jnp.int32)
             batch["attr_triples"] = jnp.take(attr_triples, idx, axis=0)
-        return shard_slice(batch)
+        batch = shard_slice(batch)
+        if cfg.use_sinkhorn and 0 < cfg.sinkhorn_pairs < pairs.shape[0]:
+            # key-deterministic per-interval OT seed subsample — identical on
+            # every host (SURVEY.md §7 hard part 6), static shape, drawn from
+            # the SEED pairs only (the Sinkhorn head stays on seeds, as in
+            # train/mtl.py make_batch).  Added AFTER shard_slice: it feeds
+            # the graph-axis ring loss, not the slice-DP loss stripes —
+            # slicing it would just force a GSPMD reshard at the ring entry.
+            sub = jax.random.choice(ks[3], pairs.shape[0],
+                                    (cfg.sinkhorn_pairs,), replace=False)
+            batch["ot_pairs"] = jnp.take(pairs, sub, axis=0)
+        return batch
 
     def make_batch(epoch):
         return interval_batch(epoch, params, eager_cond, enc_consts)
