@@ -94,3 +94,34 @@ def test_csls_mining_approx_close_to_exact():
         return sum(hits) / (s * k)
     assert recall(ex_l, ap_l) >= 0.8
     assert recall(ex_r, ap_r) >= 0.8
+
+
+def test_fused_hubness_tracks_unfused_pair():
+    """negatives._hubness_both_approx (one sweep, approx_min_k selection)
+    must track the unfused pair it replaced in serve/bootstrap/approx-eval:
+    _cand_hubness(metric='sqeuclidean') (exact top_k selection) for r_sq and
+    the sqeuclidean-selected mean-L1 for r_l1."""
+    import jax.numpy as jnp
+
+    from tpugraph.train.negatives import _cand_hubness, _hubness_both_approx
+
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.standard_normal((300, 16)).astype(np.float32))
+    cands = jnp.asarray(rng.standard_normal((500, 16)).astype(np.float32))
+    k = 10
+    r_sq, r_l1 = _hubness_both_approx(q, cands, k)
+    r_sq_ref = _cand_hubness(q, cands, k, "sqeuclidean")
+    # exact reference for the L1 term: mean L1 to the k sq-nearest queries
+    d2 = np.asarray(
+        (jnp.sum(cands**2, 1)[:, None] + jnp.sum(q**2, 1)[None, :]
+         - 2.0 * cands @ q.T))
+    d1 = np.abs(np.asarray(cands)[:, None, :] - np.asarray(q)[None, :, :]).sum(-1)
+    near = np.argsort(d2, axis=1)[:, :k]
+    r_l1_ref = np.take_along_axis(d1, near, axis=1).mean(1)
+    # approx_min_k selection (recall 0.95) vs the exact top-k: means of the
+    # selected sets differ only by near-miss swaps — tight relative tolerance
+    assert float(jnp.max(jnp.abs(r_sq - r_sq_ref) / (r_sq_ref + 1e-6))) < 0.05
+    assert float(np.max(np.abs(np.asarray(r_l1) - r_l1_ref) / (r_l1_ref + 1e-6))) < 0.05
+    # small-pool clamp: k > #queries must not crash
+    r_sq_s, r_l1_s = _hubness_both_approx(q[:4], cands, 10)
+    assert r_sq_s.shape == (500,) and bool(jnp.all(jnp.isfinite(r_l1_s)))

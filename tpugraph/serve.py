@@ -53,11 +53,13 @@ def _topk_prefiltered(q, cands, k, approx_k, csls_k=0, block_q: int = 4096):
     c = cands.shape[0]
     kk = min(c, max(approx_k, k))
     if csls_k > 0:
-        from tpugraph.train.eval import _knn_mean_l1_approx
-        from tpugraph.train.negatives import _cand_hubness
+        # one fused sweep for BOTH hubness terms (selection r₂ + score r):
+        # previously two full (Bc, S) sweeps, one with a full-width top_k
+        # row sort (_cand_hubness) — measured 2.1× on the serve CSLS row
+        # (BASELINE.md round-4 fused-hubness rows)
+        from tpugraph.train.negatives import _hubness_both_approx
 
-        r_sel = _cand_hubness(q, cands, csls_k, "sqeuclidean")
-        r_score = _knn_mean_l1_approx(q, cands, csls_k)
+        r_sel, r_score = _hubness_both_approx(q, cands, csls_k)
         scale = 2.0
     else:
         r_sel = r_score = jnp.zeros((c,), jnp.float32)

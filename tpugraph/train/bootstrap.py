@@ -110,12 +110,12 @@ def _nn1_prefiltered(q, cands, c_mask, metric: str = "cityblock",
     cb16 = cands.astype(jnp.bfloat16)
     c2 = jnp.sum(cands.astype(jnp.float32) ** 2, axis=1)
     if csls_k > 0:
-        from tpugraph.train.eval import _knn_mean_l1_approx
-        from tpugraph.train.negatives import _cand_hubness
+        # one fused sweep for both hubness terms (see serve._topk_prefiltered)
+        from tpugraph.train.negatives import _hubness_both_approx
 
-        r_sel = _cand_hubness(q, cands, csls_k, "sqeuclidean")
-        r_score = (_knn_mean_l1_approx(q, cands, csls_k)
-                   if metric == "cityblock" else r_sel)
+        r_sq, r_l1 = _hubness_both_approx(q, cands, csls_k)
+        r_sel = r_sq
+        r_score = r_l1 if metric == "cityblock" else r_sq
         scale = 2.0
     else:
         r_sel = r_score = jnp.zeros((c,), jnp.float32)

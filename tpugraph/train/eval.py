@@ -111,6 +111,7 @@ def _ranks_l1_prefiltered(
     approx_k: int,
     cand_corr: jnp.ndarray | None = None,
     csls_k: int = 0,
+    r_sel: jnp.ndarray | None = None,
 ):
     """MXU-prefiltered ranks: a sqeuclidean top-``approx_k`` shortlist per
     query (query-blocked distance tiles on the MXU + ``lax.approx_min_k``),
@@ -143,10 +144,12 @@ def _ranks_l1_prefiltered(
     # runs on 2·d_sq − r_sq(j) (sqeuclidean hubness, MXU) so candidates that
     # CSLS promotes past the true match are not silently dropped — selecting
     # by raw distance here diverged by ~0.27 Hits@1 on hub-heavy pools
-    # (tests/test_eval_approx.py::test_shortlisted_hits_track_exact[0.8-10])
+    # (tests/test_eval_approx.py::test_shortlisted_hits_track_exact[0.8-10]).
+    # r_sel: the caller's precomputed r_sq(j) (the fused-hubness sweep in
+    # _both_direction_ranks); None → computed internally.
     short = _knn_query_blocked_approx(q, cands, no_excl, approx_k,
-                                      "sqeuclidean",
-                                      csls_k=csls_k)  # (S, K) candidate ids
+                                      "sqeuclidean", csls_k=csls_k,
+                                      r_cand=r_sel)  # (S, K) candidate ids
     c_short = jnp.take(cands, short, axis=0)  # (S, K, d)
     d_short = pairwise_l1(q[:, None, :], c_short).astype(jnp.float32)
     if csls_k > 0:
@@ -161,18 +164,16 @@ def _ranks_l1_prefiltered(
     return jnp.sum(below, axis=1).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("k",))
 def _knn_mean_l1_approx(q_pool: jnp.ndarray, cands: jnp.ndarray, k: int):
     """Approximate CSLS hubness term: candidate j's mean L1 distance to its k
     nearest queries, with "nearest" selected by sqeuclidean on the MXU (the
-    exact term selects by L1 — a full C·S·d VPU pass)."""
-    from tpugraph.train.negatives import _knn_query_blocked_approx
+    exact term selects by L1 — a full C·S·d VPU pass).  Thin wrapper over the
+    fused ``negatives._hubness_both_approx`` sweep (callers that also need
+    the sqeuclidean term should call that directly and get both for one
+    sweep)."""
+    from tpugraph.train.negatives import _hubness_both_approx
 
-    c = cands.shape[0]
-    no_excl = jnp.full((c,), -1, jnp.int32)
-    idx = _knn_query_blocked_approx(cands, q_pool, no_excl, k, "sqeuclidean")
-    qk = jnp.take(q_pool, idx, axis=0)  # (C, k, d)
-    return pairwise_l1(cands[:, None, :], qk).astype(jnp.float32).mean(axis=1)
+    return _hubness_both_approx(q_pool, cands, k)[1]
 
 
 @partial(jax.jit, static_argnames=("block_c", "csls_k", "approx_k"))
@@ -192,13 +193,21 @@ def _both_direction_ranks(
     r = jnp.take(emb, test_pairs[:, 1], axis=0)
     d_true = pairwise_l1(l, r).astype(jnp.float32)
     corr = {}
+    sel = {}
     if csls_k > 0:
         if approx_k > 0:
-            # _knn_mean_l1_approx(q_pool, cands, k) is PER-CANDS: corr['l']
-            # (per-left hubness wrt the right pool, matching the exact
-            # _knn_mean_l1(l, r, k)) therefore takes cands=l, q_pool=r
-            corr["l"] = _knn_mean_l1_approx(r, l, csls_k)
-            corr["r"] = _knn_mean_l1_approx(l, r, csls_k)
+            # ONE fused sweep per direction (negatives._hubness_both_approx)
+            # yields BOTH hubness terms the prefiltered path needs: the
+            # sqeuclidean selection hubness (previously a second full
+            # _cand_hubness sweep with a full-width top_k sort inside
+            # _knn_query_blocked_approx) and the approx-L1 score correction.
+            # Orientation is PER-CANDS: corr['l'] (per-left hubness wrt the
+            # right pool, matching the exact _knn_mean_l1(l, r, k)) takes
+            # cands=l, q_pool=r.
+            from tpugraph.train.negatives import _hubness_both_approx
+
+            sel["l"], corr["l"] = _hubness_both_approx(r, l, csls_k)
+            sel["r"], corr["r"] = _hubness_both_approx(l, r, csls_k)
         else:
             corr["l"] = _knn_mean_l1(l, r, csls_k, block_c)  # hubness of left wrt right pool
             corr["r"] = _knn_mean_l1(r, l, csls_k, block_c)
@@ -206,9 +215,10 @@ def _both_direction_ranks(
     for tag, q, cands in (("l2r", l, r), ("r2l", r, l)):
         cand_corr = (corr["r"] if tag == "l2r" else corr["l"]) if csls_k > 0 else None
         if approx_k > 0:
+            r_sel = (sel["r"] if tag == "l2r" else sel["l"]) if csls_k > 0 else None
             ranks.append(_ranks_l1_prefiltered(
                 q, cands, d_true, min(approx_k, cands.shape[0]),
-                cand_corr=cand_corr, csls_k=csls_k))
+                cand_corr=cand_corr, csls_k=csls_k, r_sel=r_sel))
         elif csls_k > 0:
             ranks.append(_ranks_l1(q, cands, d_true, block_c=block_c,
                                    cand_corr=cand_corr, true_corr=cand_corr))

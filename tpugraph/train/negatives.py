@@ -140,10 +140,52 @@ def _cand_hubness(q, cands, csls_k, metric, block_c: int = 4096):
     return r.reshape(c_pad)[:c]
 
 
+@partial(jax.jit, static_argnames=("k", "block_c"))
+def _hubness_both_approx(q_pool, cands, k, block_c: int = 4096):
+    """(r_sq, r_l1): candidate j's mean sqeuclidean and mean exact-L1
+    distance to its k nearest queries, with "nearest" selected by
+    sqeuclidean on the MXU (``approx_min_k``).
+
+    Fused single-sweep replacement for the
+    (``_cand_hubness(metric='sqeuclidean')`` + ``eval._knn_mean_l1_approx``)
+    pair the approx CSLS paths (serve / bootstrap / approx eval) previously
+    computed as TWO full (Bc, S) sweeps — both terms share one d² matmul
+    tile and one selection per candidate block, and ``_cand_hubness``'s
+    full-width ``lax.top_k`` row sort (the measured mining-bottleneck
+    structure, DESIGN.md §6c) never runs.  Ring analog:
+    dist/ring._ring_hubness_approx_body (same select-by-sq / score-by-L1
+    convention, tolerance-tested in tests/test_ring.py)."""
+    s, d = q_pool.shape
+    c = cands.shape[0]
+    k = min(k, s)
+    c_pad = ((c + block_c - 1) // block_c) * block_c
+    cp = jnp.concatenate([cands, jnp.zeros((c_pad - c, d), cands.dtype)])
+    cb = cp.reshape(c_pad // block_c, block_c, d)
+    q32 = q_pool.astype(jnp.float32)
+    q2 = jnp.sum(q32 * q32, axis=1)
+
+    def body(_, blk):
+        b32 = blk.astype(jnp.float32)
+        d2 = (jnp.sum(b32 * b32, axis=1)[:, None] + q2[None, :]
+              - 2.0 * jnp.dot(b32, q32.T, preferred_element_type=jnp.float32))
+        hv2, hpos = jax.lax.approx_min_k(d2, k)
+        qk = jnp.take(q_pool, hpos.astype(jnp.int32), axis=0)  # (Bc, k, d)
+        l1 = pairwise_l1(blk[:, None, :], qk).astype(jnp.float32)
+        return None, (hv2.mean(axis=1), l1.mean(axis=1))
+
+    _, (r_sq, r_l1) = jax.lax.scan(body, None, cb)
+    return r_sq.reshape(c_pad)[:c], r_l1.reshape(c_pad)[:c]
+
+
 def _knn_query_blocked_approx(q, cands, exclude, k, metric, block_q: int = 4096,
-                              csls_k: int = 0):
+                              csls_k: int = 0, r_cand=None):
     """Query-blocked approx k-NN: one full-width MXU distance tile per query
-    block, one approx_min_k per tile.  Tile memory = block_q × C × 4 bytes."""
+    block, one approx_min_k per tile.  Tile memory = block_q × C × 4 bytes.
+
+    ``r_cand``: optional precomputed candidate-hubness vector (C,) for the
+    csls_k > 0 score — callers that already hold the fused
+    ``_hubness_both_approx`` result (approx eval) pass it here so the
+    internal ``_cand_hubness`` sweep is skipped."""
     s, d = q.shape
     c = cands.shape[0]
     q_pad = ((s + block_q - 1) // block_q) * block_q
@@ -152,8 +194,9 @@ def _knn_query_blocked_approx(q, cands, exclude, k, metric, block_q: int = 4096,
     qb = qp.reshape(q_pad // block_q, block_q, d)
     eb = ep.reshape(q_pad // block_q, block_q)
     c2 = jnp.sum(cands.astype(jnp.float32) ** 2, axis=1)
-    r_cand = (_cand_hubness(q, cands, csls_k, metric) if csls_k > 0
-              else jnp.zeros((c,), jnp.float32))
+    if r_cand is None:
+        r_cand = (_cand_hubness(q, cands, csls_k, metric) if csls_k > 0
+                  else jnp.zeros((c,), jnp.float32))
     scale = 2.0 if csls_k > 0 else 1.0
 
     # cityblock + no CSLS: MXU-prefiltered — shortlist by sqeuclidean (one
