@@ -285,3 +285,36 @@ def test_fit_distributed_halo_grouped_attr_channel_csls_eval():
         ru.history[-1]["loss_ae"], rel=1e-3)
     assert rg.metrics["hits@1"] == pytest.approx(ru.metrics["hits@1"], abs=1e-6)
     assert rg.metrics["mrr"] == pytest.approx(ru.metrics["mrr"], abs=1e-6)
+
+
+def test_legacy_checkpoint_without_layout_stamp_raises(tmp_path):
+    """A pre-round-4 checkpoint (no 'layout' key) must fail with the
+    actionable version-boundary error, not an opaque Orbax structure
+    mismatch (round-4b review finding)."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    from tpugraph.configs import get_config
+    from tpugraph.data.synthetic import synthetic_align_task
+    from tpugraph.dist.trainer import fit_distributed
+
+    task = synthetic_align_task(seed=39, n_ent=128, n_rel=5, n_triples=500)
+    ckdir = str(tmp_path / "ck")
+    kw = dict(dim=16, epochs=2, eval_every=0, k_neg=4, neg_every=2,
+              neg_mode="uniform", syn_n_ent=128, n_shards=4,
+              checkpoint_dir=ckdir, checkpoint_every=1)
+    fit_distributed(get_config("base", **kw), task=task)
+    # strip the layout stamp to simulate the pre-round-4 on-disk format
+    mgr = ocp.CheckpointManager(
+        os.path.abspath(ckdir),
+        options=ocp.CheckpointManagerOptions(max_to_keep=3))
+    step = mgr.latest_step()
+    state = mgr.restore(step)
+    assert "layout" in state
+    del state["layout"]
+    mgr.save(step + 1, args=ocp.args.StandardSave(state))
+    mgr.wait_until_finished()
+    mgr.close()
+    with pytest.raises(ValueError, match="pre-round-4"):
+        fit_distributed(get_config("base", **{**kw, "epochs": 4}), task=task)

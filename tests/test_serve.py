@@ -184,3 +184,26 @@ def test_topk_alignments_approx_csls_tracks_exact():
     assert top1_match >= 0.9, top1_match
     overlap = np.mean([len(set(a) & set(b)) / k for a, b in zip(ie, ia)])
     assert overlap >= 0.8, overlap
+
+
+def test_topk_alignments_approx_small_pool():
+    """Candidate pool smaller than k: the approx path must follow the exact
+    path's padded convention (inf score marks no-such-candidate) instead of
+    crashing in top_k (round-4b review finding: kk clamps to C < k)."""
+    import jax.numpy as jnp
+
+    from tpugraph.serve import topk_alignments
+
+    rng = np.random.default_rng(11)
+    emb = jnp.asarray(rng.standard_normal((40, 16)).astype(np.float32))
+    q_ids = np.arange(8)
+    c_ids = 20 + np.arange(6)  # C=6 < k=10
+    ve, ie = topk_alignments(emb, q_ids, c_ids, k=10)
+    va, ia = topk_alignments(emb, q_ids, c_ids, k=10, approx_k=32)
+    # real entries: identical ids and scores, best-first
+    assert np.array_equal(ie[:, :6], ia[:, :6])
+    np.testing.assert_allclose(ve[:, :6], va[:, :6], rtol=1e-5)
+    assert np.all(np.isinf(va[:, 6:])) and np.all(np.isinf(ve[:, 6:]))
+    # CSLS branch compiles and returns the same finite set too
+    _, iac = topk_alignments(emb, q_ids, c_ids, k=10, csls_k=3, approx_k=32)
+    assert np.all(np.isin(iac[:, :6], c_ids))

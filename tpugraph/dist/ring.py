@@ -113,7 +113,7 @@ def _ring_hubness_approx_body(cand, qblk, qval, csls_k, axis: str):
     query pool: one sqeuclidean MXU tile per hop keeps a running
     top-``csls_k`` of d₂ keyed on d₂, carrying each entry's exact L1
     distance as payload — the ring analog of the single-chip
-    train/eval._knn_mean_l1_approx ("nearest" selected by sqeuclidean, mean
+    negatives._hubness_both_approx ("nearest" selected by sqeuclidean, mean
     taken of exact L1), plus the sqeuclidean mean the prefilter's selection
     score needs."""
     s = jax.lax.axis_size(axis)

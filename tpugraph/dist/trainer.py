@@ -600,8 +600,23 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
     layout = jax.device_put(jnp.asarray([int(cfg.halo_grouped), r0], jnp.int32),
                             repl)
     start_epoch = 0
-    restored = ckpt.restore_latest(abstract_like(
-        {"params": params, "opt_state": opt_state, "layout": layout}))
+    try:
+        restored = ckpt.restore_latest(abstract_like(
+            {"params": params, "opt_state": opt_state, "layout": layout}))
+    except Exception as e:
+        # a checkpoint saved before the layout stamp existed fails the Orbax
+        # structure match with an opaque "layout ... MISSING" — surface the
+        # real situation instead.  No silent legacy fallback: the stamp is
+        # unverifiable, and the interval key schedule changed alongside it
+        # (split(bk, 3) → split(bk, 4)), so a resume across this boundary
+        # could not reproduce the original trajectory anyway.
+        if "layout" in str(e):
+            raise ValueError(
+                f"checkpoint at {cfg.checkpoint_dir!r} predates the row-layout "
+                f"stamp (pre-round-4 format) — its partition layout cannot be "
+                f"verified and the resume key schedule has changed; retrain "
+                f"or point checkpoint_dir elsewhere") from e
+        raise
     if restored is not None:
         start_epoch, state = restored
         start_epoch += 1

@@ -48,7 +48,15 @@ def _topk_prefiltered(q, cands, k, approx_k, csls_k=0, block_q: int = 4096):
     train/eval._ranks_l1_prefiltered subtlety), then the exact L1 (or
     approx-L1-CSLS) rescore + a single top_k run on the shortlist only.
     Same structure, tolerance contract as the approx eval path
-    (tests/test_serve.py)."""
+    (tests/test_serve.py).
+
+    Deliberately NOT a call into negatives._knn_query_blocked_approx even
+    though the scan skeleton rhymes: serving's contract is (sorted
+    best-first values AND ids) under the serve CSLS convention, while the
+    mining helper returns unsorted index sets for sampling (approx_min_k
+    final selection, exclude-partner masking, recall_target=0.7 shortlist).
+    The genuinely shared piece — the fused hubness sweep — IS shared
+    (_hubness_both_approx above)."""
     s, d = q.shape
     c = cands.shape[0]
     kk = min(c, max(approx_k, k))
@@ -79,6 +87,14 @@ def _topk_prefiltered(q, cands, k, approx_k, csls_k=0, block_q: int = 4096):
         g = jnp.take(cands, sidx, axis=0)  # (block_q, kk, d)
         score = scale * pairwise_l1(qq[:, None, :], g).astype(jnp.float32) \
             - jnp.take(r_score, sidx)
+        if kk < k:
+            # candidate pool smaller than k (kk clamps to C): pad the
+            # shortlist so top_k(k) is well-formed — inf scores mark the
+            # fill rows, matching the exact path's padded-candidate
+            # convention (callers see score=inf ⇒ no such candidate)
+            score = jnp.pad(score, ((0, 0), (0, k - kk)),
+                            constant_values=jnp.inf)
+            sidx = jnp.pad(sidx, ((0, 0), (0, k - kk)))
         negtop, pos = jax.lax.top_k(-score, k)  # sorted best-first
         return None, (-negtop, jnp.take_along_axis(sidx, pos, axis=1))
 

@@ -99,7 +99,7 @@ def _nn1_prefiltered(q, cands, c_mask, metric: str = "cityblock",
     (r₂ = MXU-tiled sqeuclidean candidate hubness over the full query
     pool), and the shortlist rerank scores 2·d − r(j) in the requested
     metric, with r(j) the MXU-approximated L1 hubness for cityblock
-    (train/eval._knn_mean_l1_approx) — the same select-by-sq/score-by-L1
+    (negatives._hubness_both_approx) — the same select-by-sq/score-by-L1
     structure as the approx eval path, tolerance-tested there."""
     s, d = q.shape
     c = cands.shape[0]

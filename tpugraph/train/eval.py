@@ -164,18 +164,6 @@ def _ranks_l1_prefiltered(
     return jnp.sum(below, axis=1).astype(jnp.int32)
 
 
-def _knn_mean_l1_approx(q_pool: jnp.ndarray, cands: jnp.ndarray, k: int):
-    """Approximate CSLS hubness term: candidate j's mean L1 distance to its k
-    nearest queries, with "nearest" selected by sqeuclidean on the MXU (the
-    exact term selects by L1 — a full C·S·d VPU pass).  Thin wrapper over the
-    fused ``negatives._hubness_both_approx`` sweep (callers that also need
-    the sqeuclidean term should call that directly and get both for one
-    sweep)."""
-    from tpugraph.train.negatives import _hubness_both_approx
-
-    return _hubness_both_approx(q_pool, cands, k)[1]
-
-
 @partial(jax.jit, static_argnames=("block_c", "csls_k", "approx_k"))
 def _both_direction_ranks(
     emb: jnp.ndarray,

@@ -147,7 +147,7 @@ def _hubness_both_approx(q_pool, cands, k, block_c: int = 4096):
     sqeuclidean on the MXU (``approx_min_k``).
 
     Fused single-sweep replacement for the
-    (``_cand_hubness(metric='sqeuclidean')`` + ``eval._knn_mean_l1_approx``)
+    (``_cand_hubness(metric='sqeuclidean')`` + sqeuclidean-selected mean-L1)
     pair the approx CSLS paths (serve / bootstrap / approx eval) previously
     computed as TWO full (Bc, S) sweeps — both terms share one d² matmul
     tile and one selection per candidate block, and ``_cand_hubness``'s
