@@ -109,7 +109,7 @@ def _ring_ranks_body(q, cand, d_true, cval, axis: str, csls_k: int = 0,
 
 
 def _ring_hubness_approx_body(cand, qblk, qval, csls_k, axis: str):
-    """(r_l1_approx, r_sq) for the LOCAL candidate block wrt the full ring
+    """(r_sq, r_l1_approx) for the LOCAL candidate block wrt the full ring
     query pool: one sqeuclidean MXU tile per hop keeps a running
     top-``csls_k`` of d₂ keyed on d₂, carrying each entry's exact L1
     distance as payload — the ring analog of the single-chip
@@ -142,7 +142,9 @@ def _ring_hubness_approx_body(cand, qblk, qval, csls_k, axis: str):
     cnt = jnp.maximum(jnp.sum(fin, axis=1), 1)
     r_sq = jnp.sum(jnp.where(fin, run2, 0.0), axis=1) / cnt
     r_l1 = jnp.sum(jnp.where(fin, runl1, 0.0), axis=1) / cnt
-    return r_l1, r_sq
+    # return order matches the single-chip negatives._hubness_both_approx —
+    # the two are documented as the same convention; keep them swappable
+    return r_sq, r_l1
 
 
 def ring_hits_at_k(
@@ -188,7 +190,7 @@ def ring_hits_at_k(
         r_l1 = r_sq = None
         if csls_k > 0:
             if approx_k > 0:
-                r_l1, r_sq = _ring_hubness_approx_body(cand, q, qv, csls_k, axis)
+                r_sq, r_l1 = _ring_hubness_approx_body(cand, q, qv, csls_k, axis)
             else:
                 r_l1 = _ring_hubness_body(cand, q, qv, csls_k, "cityblock", axis)
         return _ring_ranks_body(q, cand, dt, cv, axis, csls_k=csls_k,

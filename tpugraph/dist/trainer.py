@@ -606,11 +606,15 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
     except Exception as e:
         # a checkpoint saved before the layout stamp existed fails the Orbax
         # structure match with an opaque "layout ... MISSING" — surface the
-        # real situation instead.  No silent legacy fallback: the stamp is
-        # unverifiable, and the interval key schedule changed alongside it
-        # (split(bk, 3) → split(bk, 4)), so a resume across this boundary
-        # could not reproduce the original trajectory anyway.
-        if "layout" in str(e):
+        # real situation instead.  The legacy hypothesis is confirmed from
+        # the checkpoint's own metadata (key genuinely absent on disk), not
+        # by string-matching the exception — a corrupted round-4 checkpoint
+        # whose error text mentions 'layout' must NOT be misreported as
+        # legacy.  No silent legacy fallback: the stamp is unverifiable, and
+        # the interval key schedule changed alongside it (split(bk, 3) →
+        # split(bk, 4)), so a resume across this boundary could not
+        # reproduce the original trajectory anyway.
+        if ckpt.latest_has_key("layout") is False:
             raise ValueError(
                 f"checkpoint at {cfg.checkpoint_dir!r} predates the row-layout "
                 f"stamp (pre-round-4 format) — its partition layout cannot be "

@@ -74,6 +74,21 @@ class Checkpointer:
 
             self._mgr.save(epoch, args=ocp.args.StandardSave(state))
 
+    def latest_has_key(self, key: str) -> bool | None:
+        """Whether the newest checkpoint's top-level tree contains ``key``
+        (from Orbax metadata, no array reads); None if no checkpoint or the
+        metadata is unreadable.  Lets callers distinguish a genuinely
+        missing key (legacy on-disk format) from other restore failures."""
+        if not self.enabled:
+            return None
+        step = self._mgr.latest_step()
+        if step is None:
+            return None
+        try:
+            return key in self._mgr.item_metadata(step)
+        except Exception:
+            return None
+
     def restore_latest(self, abstract_state: dict) -> tuple[int, Any] | None:
         """Returns (epoch, state) of the newest checkpoint, or None."""
         if not self.enabled:

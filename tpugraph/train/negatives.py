@@ -195,8 +195,22 @@ def _knn_query_blocked_approx(q, cands, exclude, k, metric, block_q: int = 4096,
     eb = ep.reshape(q_pad // block_q, block_q)
     c2 = jnp.sum(cands.astype(jnp.float32) ** 2, axis=1)
     if r_cand is None:
-        r_cand = (_cand_hubness(q, cands, csls_k, metric) if csls_k > 0
-                  else jnp.zeros((c,), jnp.float32))
+        if csls_k == 0:
+            r_cand = jnp.zeros((c,), jnp.float32)
+        elif metric == "sqeuclidean":
+            # fused approx hubness (r_sq term): replaces _cand_hubness's
+            # full-width top_k row sort on the DWY-scale mining default
+            # (sqeuclidean + CSLS).  Measured at 15k×100k d=256 k=100:
+            # standalone hubness ~180 → ~20 ms device (9×); inside the full
+            # mining call the hubness scan is ~5 ms of device time in the
+            # trace (BASELINE.md round-4b).  Mining is a sampling strategy;
+            # approx selection of the hubness k-NN is tolerance-tested.
+            r_cand = _hubness_both_approx(q, cands, csls_k)[0]
+        else:
+            # cityblock + CSLS keeps the exact L1 hubness: its semantics
+            # mirror the exact-merge path, and the combination is not on
+            # any hot recipe path (see the prefilter note below)
+            r_cand = _cand_hubness(q, cands, csls_k, metric)
     scale = 2.0 if csls_k > 0 else 1.0
 
     # cityblock + no CSLS: MXU-prefiltered — shortlist by sqeuclidean (one
