@@ -233,3 +233,29 @@ def test_ring_hits_approx_tracks_exact(csls_k):
     ap = ring_hits_at_k(emb, pairs, _mesh(), csls_k=csls_k, approx_k=16)
     for k in ("hits@1", "hits@10", "mrr"):
         assert ap[k] == pytest.approx(exact[k], abs=0.02), (k, csls_k)
+
+
+def test_ring_potentials_all_padding_shard_finite():
+    """n smaller than the mesh can leave whole shards as padding (here 9
+    pairs on 8 devices -> 7 pad rows, devices 5-7 all-padding).  The -inf
+    log-mask made every z in such a tile -inf and z - max(z) = NaN,
+    poisoning ALL potentials (round-4b review); the finite sentinel from
+    ring_sinkhorn_align_loss is now shared.  Values must still match the
+    dense single-device solver on the real rows."""
+    import jax.numpy as jnp
+
+    from tpugraph.dist.ring import ring_sinkhorn_potentials
+    from tpugraph.kernels.sinkhorn import sinkhorn_potentials
+
+    rng = np.random.default_rng(5)
+    n, d = 9, 8
+    l = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    r = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    f, g = ring_sinkhorn_potentials(l, r, _mesh(), tau=0.1, n_iters=15)
+    assert bool(jnp.all(jnp.isfinite(f))) and bool(jnp.all(jnp.isfinite(g)))
+    ln = np.asarray(l / (jnp.linalg.norm(l, axis=-1, keepdims=True) + 1e-8))
+    rn = np.asarray(r / (jnp.linalg.norm(r, axis=-1, keepdims=True) + 1e-8))
+    cost = ((ln[:, None, :] - rn[None, :, :]) ** 2).sum(-1)
+    f_want, g_want = sinkhorn_potentials(jnp.asarray(cost), tau=0.1, n_iters=15)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f_want), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_want), atol=1e-4)

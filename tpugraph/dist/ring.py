@@ -14,7 +14,7 @@ public wrappers pad, shard, launch, and unpad.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -147,6 +147,47 @@ def _ring_hubness_approx_body(cand, qblk, qval, csls_k, axis: str):
     return r_sq, r_l1
 
 
+@lru_cache(maxsize=64)
+def _ring_eval_fn(mesh, axis: str, csls_k: int, approx_k: int,
+                  ks: tuple, n: int):
+    """One jitted (ranks + metrics) callable per eval configuration.
+
+    Cached by identity: before round 4b, ring_hits_at_k rebuilt its
+    shard_map/jit closures on EVERY call, so fit_distributed's periodic
+    evals re-traced and re-compiled the full s-hop ring loop each interval
+    (seconds per eval) instead of hitting the jit cache — exactly the
+    dispatch-cost class the single-chip eval fixed in round 2.  Fusing the
+    rank pass and the metric reduction into ONE jit also keeps the sharded
+    rank vector on device (it spans non-addressable devices under
+    multi-process jax.distributed — a host fetch of it would fail, caught
+    by the 2-process rehearsal) and costs a single dispatch + one bulk
+    readback of the replicated metric stack."""
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(axis, None), P(axis, None), P(axis), P(axis), P(axis)),
+             out_specs=P(axis))
+    def ranks_fn(q, cand, dt, cv, qv):
+        r_l1 = r_sq = None
+        if csls_k > 0:
+            if approx_k > 0:
+                r_sq, r_l1 = _ring_hubness_approx_body(cand, q, qv, csls_k, axis)
+            else:
+                r_l1 = _ring_hubness_body(cand, q, qv, csls_k, "cityblock", axis)
+        return _ring_ranks_body(q, cand, dt, cv, axis, csls_k=csls_k,
+                                approx_k=approx_k, r_l1=r_l1, r_sq=r_sq)
+
+    @jax.jit
+    def eval_fn(q, cand, dt, cv, qv):
+        ranks = ranks_fn(q, cand, dt, cv, qv)
+        valid = jnp.arange(ranks.shape[0]) < n
+        vals = [jnp.sum(jnp.where(valid, ranks < k, False)) / n for k in ks]
+        vals.append(jnp.sum(
+            jnp.where(valid, 1.0 / (ranks.astype(jnp.float32) + 1.0), 0.0)) / n)
+        return jnp.stack(vals)
+
+    return eval_fn
+
+
 def ring_hits_at_k(
     emb: jnp.ndarray,
     test_pairs,
@@ -183,36 +224,12 @@ def ring_hits_at_k(
     valid = jnp.arange(n_pad) < n
     vf = valid.astype(jnp.float32)
 
-    @partial(shard_map, mesh=mesh,
-             in_specs=(P(axis, None), P(axis, None), P(axis), P(axis), P(axis)),
-             out_specs=P(axis))
-    def ranks_fn(q, cand, dt, cv, qv):
-        r_l1 = r_sq = None
-        if csls_k > 0:
-            if approx_k > 0:
-                r_sq, r_l1 = _ring_hubness_approx_body(cand, q, qv, csls_k, axis)
-            else:
-                r_l1 = _ring_hubness_body(cand, q, qv, csls_k, "cityblock", axis)
-        return _ring_ranks_body(q, cand, dt, cv, axis, csls_k=csls_k,
-                                approx_k=approx_k, r_l1=r_l1, r_sq=r_sq)
-
-    @jax.jit
-    def metrics_of(ranks):
-        """All hits@k + mrr scalars in one stacked replicated array — the
-        sharded rank vector spans non-addressable devices under
-        multi-process jax.distributed (a host fetch of it would fail —
-        caught by the 2-process fit_distributed rehearsal), and one bulk
-        fetch avoids len(ks)+1 sequential tunnel round-trips."""
-        valid = jnp.arange(ranks.shape[0]) < n
-        vals = [jnp.sum(jnp.where(valid, ranks < k, False)) / n for k in ks]
-        vals.append(jnp.sum(
-            jnp.where(valid, 1.0 / (ranks.astype(jnp.float32) + 1.0), 0.0)) / n)
-        return jnp.stack(vals)
-
+    eval_fn = _ring_eval_fn(mesh, axis, int(csls_k), int(approx_k),
+                            tuple(ks), n)
     out = {}
     with mesh:
         for tag, q, cand in (("l2r", l, r), ("r2l", r, l)):
-            m = np.asarray(metrics_of(ranks_fn(q, cand, d_true, valid, vf)))
+            m = np.asarray(eval_fn(q, cand, d_true, valid, vf))
             for k, v in zip(ks, m):
                 out[f"hits@{k}_{tag}"] = float(v)
             out[f"mrr_{tag}"] = float(m[-1])
@@ -394,6 +411,19 @@ def ring_knn(
 
 
 # ------------------------------------------------- differentiable ring OT loss
+def _cost_tile_sq(a, b):
+    """Clamped sqeuclidean cost tile on L2-normalized embeddings — the ONE
+    cost metric both ring Sinkhorn variants share (matches train/ot.py);
+    previously duplicated verbatim in each, which let the padding-mask fix
+    diverge between them (round-4b review)."""
+    d2 = (
+        jnp.sum(a * a, -1)[:, None]
+        + jnp.sum(b * b, -1)[None, :]
+        - 2.0 * jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+    )
+    return jnp.maximum(d2, 0.0)
+
+
 def ring_sinkhorn_align_loss(
     emb: jnp.ndarray,
     pairs: jnp.ndarray,
@@ -424,14 +454,7 @@ def ring_sinkhorn_align_loss(
         r = jnp.concatenate([r, jnp.zeros((pad, d), r.dtype)])
     valid = jnp.concatenate([jnp.ones(n), jnp.zeros(pad)]).astype(jnp.float32)
     log_mass = -np.log(n)
-
-    def cost_tile(a, b):
-        d2 = (
-            jnp.sum(a * a, -1)[:, None]
-            + jnp.sum(b * b, -1)[None, :]
-            - 2.0 * jnp.dot(a, b.T, preferred_element_type=jnp.float32)
-        )
-        return jnp.maximum(d2, 0.0)
+    cost_tile = _cost_tile_sq
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(axis, None), P(axis, None), P(axis)),
@@ -452,13 +475,12 @@ def ring_sinkhorn_align_loss(
                 z = (pot[None, :] - c) / tau + mask[None, :]
                 m2 = jnp.max(z, axis=1)
                 s2 = jnp.sum(jnp.exp(z - m2[:, None]), axis=1)
-                mm = jnp.maximum(m, m2)
-                sacc = sacc * jnp.exp(m - mm) + s2 * jnp.exp(m2 - mm)
+                m, sacc = _lse_merge(m, sacc, m2, s2)
                 perm = _ring_perm(axis)
                 pot = jax.lax.ppermute(pot, axis, perm=perm)
                 val = jax.lax.ppermute(val, axis, perm=perm)
                 blk = jax.lax.ppermute(blk, axis, perm=perm)
-                return (mm, sacc, pot, val, blk), None
+                return (m, sacc, pot, val, blk), None
 
             init = (pv(jnp.full((bq,), -1e30, jnp.float32)),
                     pv(jnp.zeros((bq,), jnp.float32)), pot_other, vb, other_blk)
@@ -526,14 +548,7 @@ def ring_sinkhorn_potentials(
         r = jnp.concatenate([r, jnp.zeros((pad, d), r.dtype)])
     valid = jnp.concatenate([jnp.ones(n), jnp.zeros(pad)]).astype(jnp.float32)
     log_mass = -np.log(n)
-
-    def cost_tile(a, b):
-        d2 = (
-            jnp.sum(a * a, -1)[:, None]
-            + jnp.sum(b * b, -1)[None, :]
-            - 2.0 * jnp.dot(a, b.T, preferred_element_type=jnp.float32)
-        )
-        return jnp.maximum(d2, 0.0)
+    cost_tile = _cost_tile_sq
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(axis, None), P(axis, None), P(axis), P(axis)),
@@ -547,13 +562,19 @@ def ring_sinkhorn_potentials(
 
         def lse_ring(qblk, f_or_g_other, other_valid, other_blk):
             """running LSE_j [(pot_j − C(q, j))/τ] over the rotated other side."""
-            m0 = _pcast_varying(jnp.full((bq,), -jnp.inf, jnp.float32), (axis,))
+            # finite sentinel, NOT -inf/log(0): with an all-padding block
+            # (n_pad − n ≥ block size, e.g. 9 pairs on 8 devices) every z in
+            # the tile would be -inf, making z − max(z) = NaN and poisoning
+            # ALL potentials — the same hazard ring_sinkhorn_align_loss's
+            # lse_ring already guards (round-4b review backport)
+            m0 = _pcast_varying(jnp.full((bq,), -1e30, jnp.float32), (axis,))
             s0 = _pcast_varying(jnp.zeros((bq,), jnp.float32), (axis,))
 
             def body(i, carry):
                 m, sacc, pot, val, blk = carry
                 c = cost_tile(qblk, blk)
-                z = (pot[None, :] - c) / tau + jnp.log(val)[None, :]  # mask pads
+                mask = jnp.where(val > 0, 0.0, -1e30)
+                z = (pot[None, :] - c) / tau + mask[None, :]  # mask pads
                 m2 = jnp.max(z, axis=1)
                 s2 = jnp.sum(jnp.exp(z - m2[:, None]), axis=1)
                 m, sacc = _lse_merge(m, sacc, m2, s2)
