@@ -2,6 +2,7 @@
 the uninterrupted run exactly (uniform negatives; keys are epoch-derived)."""
 
 import numpy as np
+import pytest
 
 from tpugraph.configs import get_config
 from tpugraph.data.synthetic import synthetic_align_task
@@ -99,3 +100,61 @@ def test_mtl_resume_reproduces(tmp_path):
     np.testing.assert_allclose(
         np.asarray(full.params["encoder"]["emb"]),
         np.asarray(resumed.params["encoder"]["emb"]), rtol=1e-5, atol=1e-6)
+
+
+def test_dist_resume_hard_mode_mid_interval_reproduces(tmp_path):
+    """Distributed twin of test_resume_hard_mode_reproduces (round-4b
+    trainer review): before the fix, dist checkpoints held only
+    params/opt_state, so a mid-interval resume re-mined hard negatives
+    (and boot proposals) from the RESTORED params and silently diverged
+    from the uninterrupted trajectory.  The checkpoint now carries the
+    interval's batch state like train/loop.py."""
+    from tpugraph.dist.trainer import fit_distributed
+
+    task = synthetic_align_task(seed=16, n_ent=128, n_rel=5, n_triples=500)
+    kw = dict(dim=16, eval_every=0, k_neg=5, neg_every=4, neg_mode="hard",
+              boot_cap=8, boot_start=2, boot_weight=0.5,
+              syn_n_ent=128, n_shards=4)
+    full = fit_distributed(get_config("base", epochs=15, **kw), task=task)
+    ckdir = str(tmp_path / "ckd")
+    cfg_a = get_config("base", epochs=10, checkpoint_dir=ckdir,
+                       checkpoint_every=6, **kw)
+    fit_distributed(cfg_a, task=task)  # saves at epoch 6 (boundary is 4) and 9
+    resumed = fit_distributed(cfg_a.replace(epochs=15), task=task)
+    np.testing.assert_allclose(np.asarray(full.params["emb"]),
+                               np.asarray(resumed.params["emb"]),
+                               rtol=1e-5, atol=1e-6)
+    assert resumed.metrics["final_loss"] == pytest.approx(
+        full.metrics["final_loss"], abs=1e-5)
+
+
+def test_dist_resume_steps_mismatch_raises(tmp_path):
+    """A checkpoint saved under one steps_per_call mode cannot be resumed
+    under the other (the fused mode has no interval-batch state): the
+    mismatch must raise actionably, not as an Orbax structure error."""
+    from tpugraph.dist.trainer import fit_distributed
+
+    task = synthetic_align_task(seed=17, n_ent=128, n_rel=5, n_triples=500)
+    ckdir = str(tmp_path / "cks")
+    kw = dict(dim=16, eval_every=0, k_neg=4, neg_every=4, neg_mode="uniform",
+              syn_n_ent=128, n_shards=4, checkpoint_dir=ckdir,
+              checkpoint_every=4)
+    fit_distributed(get_config("base", epochs=8, steps_per_call=4, **kw),
+                    task=task)
+    with pytest.raises(ValueError, match="steps_per_call"):
+        fit_distributed(get_config("base", epochs=12, steps_per_call=1, **kw),
+                        task=task)
+
+
+def test_fused_epochs_divisibility_validated():
+    """epochs not a multiple of steps_per_call used to silently train past
+    cfg.epochs (the fused scan always runs a full chunk) — now rejected."""
+    from tpugraph.dist.trainer import fit_distributed
+    from tpugraph.train.loop import fit
+
+    task = synthetic_align_task(seed=18, n_ent=128, n_rel=5, n_triples=500)
+    for fn, extra in ((fit, {}), (fit_distributed, {"n_shards": 4})):
+        with pytest.raises(ValueError, match="not a multiple"):
+            fn(get_config("base", dim=16, epochs=7, steps_per_call=4,
+                          neg_every=4, k_neg=4, syn_n_ent=128, eval_every=0,
+                          **extra), task=task)

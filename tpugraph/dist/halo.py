@@ -36,6 +36,32 @@ def _segsum(w, x, src, dst, n_rows):
     return out[:n_rows].astype(x.dtype)
 
 
+def _exchange(x_local, send_idx, send_mask, axis, force_serialize,
+              axis_index_groups):
+    """The ONE halo exchange (shared by both aggregation impls): gather the
+    send rows, zero the pad slots (cast the mask, not the payload — bf16
+    activations must cross the ICI as bf16, half the exchange bytes), one
+    tiled all_to_all, optional serialization barrier (overlap_probe's
+    ablation).  ``send_idx``/``send_mask`` are (G, B) where G is the
+    exchange-group size — the FULL axis size normally, the per-group size
+    under ``axis_index_groups`` (component-grouped exchange, DESIGN.md
+    §5 (c)).  Returns (x_local, recv) — x_local is passed back out because
+    the barrier re-binds it."""
+    g, b = send_idx.shape
+    d = x_local.shape[1]
+    with jax.named_scope("halo_a2a"):
+        send = jnp.take(x_local, send_idx.reshape(-1), axis=0).reshape(g, b, d)
+        send = send * send_mask[:, :, None].astype(send.dtype)
+        recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0,
+                                  tiled=True,
+                                  axis_index_groups=axis_index_groups)
+    if force_serialize:
+        # optimization_barrier ties x_local's availability to recv: the local
+        # aggregation can then only start after the collective completes
+        x_local, recv = jax.lax.optimization_barrier((x_local, recv))
+    return x_local, recv.reshape(g * b, d)
+
+
 def halo_spmm_ell(
     x_local: jnp.ndarray,  # (n_loc, d)
     loc_op,  # EllOperator over local rows (squeezed, this shard's)
@@ -58,23 +84,12 @@ def halo_spmm_ell(
     leading dim is then the GROUP size, not the full axis size."""
     from tpugraph.kernels.spmm_ell import spmm_ell
 
-    s, b = send_idx.shape
-    d = x_local.shape[1]
-    with jax.named_scope("halo_a2a"):
-        send = jnp.take(x_local, send_idx.reshape(-1), axis=0).reshape(s, b, d)
-        # cast the mask, not the payload: bf16 activations must cross the ICI
-        # as bf16 (half the exchange bytes), not get promoted to fp32
-        send = send * send_mask[:, :, None].astype(send.dtype)
-        recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0, tiled=True,
-                                  axis_index_groups=axis_index_groups)
-    if force_serialize:
-        # optimization_barrier ties x_local's availability to recv: the local
-        # aggregation can then only start after the collective completes
-        x_local, recv = jax.lax.optimization_barrier((x_local, recv))
+    x_local, recv = _exchange(x_local, send_idx, send_mask, axis,
+                              force_serialize, axis_index_groups)
     with jax.named_scope("spmm_local"):
         out = spmm_ell(loc_op, x_local)
     with jax.named_scope("spmm_boundary"):
-        out = out + spmm_ell(bnd_op, recv.reshape(s * b, d))
+        out = out + spmm_ell(bnd_op, recv)
     return out
 
 
@@ -82,27 +97,20 @@ def halo_spmm(
     x_local: jnp.ndarray,  # (n_loc, d) — this shard's rows of the feature matrix
     loc_src, loc_dst, loc_w,  # (E_loc,) local edge group
     bnd_src, bnd_dst, bnd_w,  # (E_bnd,) boundary edge group (src in halo buffer)
-    send_idx,  # (S, B) — local rows to send to each peer
-    send_mask,  # (S, B)
+    send_idx,  # (G, B) — local rows to send to each exchange peer (G = group
+    send_mask,  # (G, B)    size under axis_index_groups, else full axis size)
     axis: str = "graph",
     force_serialize: bool = False,
     axis_index_groups=None,
 ) -> jnp.ndarray:
-    n_loc, d = x_local.shape
-    s, b = send_idx.shape
-    # 1. halo exchange: one tiled all_to_all over ICI (within-group only
-    # when axis_index_groups is set — see halo_spmm_ell docstring)
-    with jax.named_scope("halo_a2a"):
-        send = jnp.take(x_local, send_idx.reshape(-1), axis=0).reshape(s, b, d)
-        send = send * send_mask[:, :, None].astype(send.dtype)
-        recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0, tiled=True,
-                                  axis_index_groups=axis_index_groups)
-    if force_serialize:  # benchmarking aid — see halo_spmm_ell docstring
-        x_local, recv = jax.lax.optimization_barrier((x_local, recv))
+    n_loc = x_local.shape[0]
+    # 1. the shared halo exchange (see _exchange / halo_spmm_ell docstring)
+    x_local, recv = _exchange(x_local, send_idx, send_mask, axis,
+                              force_serialize, axis_index_groups)
     # 2. local aggregation — no data dependence on `recv`; overlaps the exchange
     with jax.named_scope("spmm_local"):
         out = _segsum(loc_w, x_local, loc_src, loc_dst, n_loc)
     # 3. boundary aggregation from the received halo rows
     with jax.named_scope("spmm_boundary"):
-        out = out + _segsum(bnd_w, recv.reshape(s * b, d), bnd_src, bnd_dst, n_loc)
+        out = out + _segsum(bnd_w, recv, bnd_src, bnd_dst, n_loc)
     return out

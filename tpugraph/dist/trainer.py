@@ -97,7 +97,6 @@ def make_encoder(mesh, halo, highway: bool, impl: str = "sorted",
     ``l2_normalize``: per-row L2 norm of the fp32 output; the squared-sum
     reduces over 'feature' with a psum (rows are column-sharded under TP).
     """
-    repl = P()
     col = P(None, "feature")  # GEMM weights: output-dim (column) sharded
     bias = P("feature")
     cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
@@ -129,6 +128,7 @@ def make_encoder(mesh, halo, highway: bool, impl: str = "sorted",
             mask, attr_ops = None, extra
         if impl == "ell":
             from tpugraph.dist.halo import halo_spmm_ell
+            from tpugraph.kernels.spmm_ell import spmm_ell
             from tpugraph.sparse.halo_ell import squeeze_shard
 
             hsq = squeeze_shard(hs)
@@ -136,11 +136,22 @@ def make_encoder(mesh, halo, highway: bool, impl: str = "sorted",
             send_idx = hsq.send_idx.reshape(g, hs.halo_b)
             send_mask = hsq.send_mask.reshape(g, hs.halo_b)
 
-            def spmm(x):
-                return halo_spmm_ell(x, hsq.loc, hsq.bnd, send_idx, send_mask,
-                                     axis_index_groups=hs.axis_groups)
+            if hs.has_halo:
+                def spmm(x):
+                    return halo_spmm_ell(x, hsq.loc, hsq.bnd, send_idx, send_mask,
+                                         axis_index_groups=hs.axis_groups)
+            else:
+                # boundary-free partition (static, e.g. n_shards=1): skip the
+                # padded all-zero exchange + boundary aggregation entirely —
+                # halo_b is floored at pad_halo_to, so the full exchange would
+                # be pure waste every layer pass (round-4b halo review)
+                def spmm(x):
+                    with jax.named_scope("spmm_local"):
+                        return spmm_ell(hsq.loc, x)
 
         else:
+            from tpugraph.dist.halo import _segsum
+
             loc_src = hs.loc_src.reshape(-1)
             loc_dst = hs.loc_dst.reshape(-1)
             loc_w = hs.loc_w.reshape(-1)
@@ -150,10 +161,15 @@ def make_encoder(mesh, halo, highway: bool, impl: str = "sorted",
             send_idx = hs.send_idx.reshape(hs.group_size, hs.halo_b)
             send_mask = hs.send_mask.reshape(hs.group_size, hs.halo_b)
 
-            def spmm(x):
-                return halo_spmm(x, loc_src, loc_dst, loc_w, bnd_src, bnd_dst, bnd_w,
-                                 send_idx, send_mask,
-                                 axis_index_groups=hs.axis_groups)
+            if hs.has_halo:
+                def spmm(x):
+                    return halo_spmm(x, loc_src, loc_dst, loc_w, bnd_src, bnd_dst,
+                                     bnd_w, send_idx, send_mask,
+                                     axis_index_groups=hs.axis_groups)
+            else:
+                def spmm(x):  # boundary-free: local aggregation only (above)
+                    with jax.named_scope("spmm_local"):
+                        return _segsum(loc_w, x, loc_src, loc_dst, x.shape[0])
 
         def w_(p):  # params stay fp32; cast at use (mixed-precision recipe)
             return p["w"].astype(cdt)
@@ -224,6 +240,14 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
     use_ae = cfg.use_attr_channel
     if use_ae and (task.merged_attr_triples is None or task.n_attr == 0):
         raise ValueError("attribute channel enabled but the task has no attribute triples")
+    # same actionable-validation treatment for the other data-dependent heads:
+    # use_attr_head on a task without attributes previously crashed deep in
+    # interval_batch (None.shape), use_rel_head with n_rel == 0 as a KeyError
+    # inside the jitted loss (round-4b trainer review)
+    if cfg.use_attr_head and (task.merged_attr_triples is None or task.n_attr == 0):
+        raise ValueError("attribute head enabled but the task has no attribute triples")
+    if cfg.use_rel_head and task.n_rel == 0:
+        raise ValueError("relation head enabled but the task has no relation types")
     mesh = make_mesh(n_shards, cfg.feature_shards, n_slice=cfg.slice_shards)
 
     def shard_slice(tree):
@@ -599,10 +623,41 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
     # rehearsal).
     layout = jax.device_put(jnp.asarray([int(cfg.halo_grouped), r0], jnp.int32),
                             repl)
+    steps = max(1, cfg.steps_per_call)
+    if steps > 1 and steps != cfg.neg_every:
+        raise ValueError("steps_per_call > 1 requires steps_per_call == neg_every")
+    if steps > 1 and cfg.epochs % steps:
+        raise ValueError(
+            f"epochs={cfg.epochs} is not a multiple of steps_per_call={steps}: "
+            f"the fused interval always runs a full {steps}-epoch scan, so the "
+            f"run would silently train to epoch {(cfg.epochs // steps + 1) * steps} "
+            f"(round-4b trainer review) — adjust epochs or steps_per_call")
+    if steps > 1 and cfg.profile_dir:
+        raise ValueError("profile_dir requires steps_per_call=1 (per-epoch trace windows)")
+    # Resume state beyond params/opt_state (mirrors train/loop.py): the
+    # interval's hard negatives and boot-merged pairs are mined from the
+    # params AT THE INTERVAL BOUNDARY — after further updates they are
+    # unreconstructable, so a mid-interval resume that re-mined them from
+    # the restored params silently diverged from the uninterrupted
+    # trajectory (round-4b trainer review).  Saved on the steps == 1 path
+    # only: fused chunks always start and save at interval boundaries,
+    # where regeneration IS exact.  ``loss`` rides along so a relaunch of a
+    # completed run reports the checkpointed loss, not nan.
+    state_tpl = {"params": params, "opt_state": opt_state, "layout": layout,
+                 "loss": jax.ShapeDtypeStruct((), jnp.float32)}
+    if steps == 1:
+        s_all = int(pairs.shape[0]) + (cfg.boot_cap if use_boot else 0)
+        neg_shape = jax.ShapeDtypeStruct((s_all, cfg.k_neg), jnp.int32)
+        state_tpl["batch_pairs"] = jax.ShapeDtypeStruct((s_all, 2), jnp.int32)
+        state_tpl["batch_neg_l"] = neg_shape
+        state_tpl["batch_neg_r"] = neg_shape
+        if use_boot:
+            state_tpl["batch_w"] = jax.ShapeDtypeStruct((s_all,), jnp.float32)
     start_epoch = 0
+    restored_loss = None
+    restored_override = None
     try:
-        restored = ckpt.restore_latest(abstract_like(
-            {"params": params, "opt_state": opt_state, "layout": layout}))
+        restored = ckpt.restore_latest(abstract_like(state_tpl))
     except Exception as e:
         # a checkpoint saved before the layout stamp existed fails the Orbax
         # structure match with an opaque "layout ... MISSING" — surface the
@@ -620,6 +675,23 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
                 f"stamp (pre-round-4 format) — its partition layout cannot be "
                 f"verified and the resume key schedule has changed; retrain "
                 f"or point checkpoint_dir elsewhere") from e
+        if ckpt.latest_has_key("loss") is False:
+            raise ValueError(
+                f"checkpoint at {cfg.checkpoint_dir!r} predates the resume "
+                f"state (loss + interval negatives, round-4b format) — "
+                f"resuming it would re-mine the interval batch from the "
+                f"restored params and silently diverge; retrain or point "
+                f"checkpoint_dir elsewhere") from e
+        if steps == 1 and ckpt.latest_has_key("batch_pairs") is False:
+            raise ValueError(
+                f"checkpoint at {cfg.checkpoint_dir!r} was saved with "
+                f"steps_per_call > 1 (no interval-batch state) — resume it "
+                f"with the same fused steps_per_call, or retrain") from e
+        if steps > 1 and ckpt.latest_has_key("batch_pairs") is True:
+            raise ValueError(
+                f"checkpoint at {cfg.checkpoint_dir!r} was saved with "
+                f"steps_per_call == 1 (carries interval-batch state) — "
+                f"resume it with steps_per_call=1, or retrain") from e
         raise
     if restored is not None:
         start_epoch, state = restored
@@ -639,37 +711,58 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
         params = place_params(state["params"])
         # opt_state moments mirror param shapes: shard them identically
         opt_state = _reshard_opt_like(state["opt_state"], opt_state)
+        restored_loss = jnp.asarray(state["loss"])
+        if steps == 1 and start_epoch % cfg.neg_every != 0:
+            # mid-interval resume: rebuild the batch around the BOUNDARY's
+            # mined negatives / boot pairs (below, first loop iteration);
+            # a boundary resume regenerates them exactly instead
+            restored_override = {
+                "pairs": jax.device_put(jnp.asarray(state["batch_pairs"]), repl),
+                "neg_l": jax.device_put(jnp.asarray(state["batch_neg_l"]), repl),
+                "neg_r": jax.device_put(jnp.asarray(state["batch_neg_r"]), repl),
+            }
+            if use_boot:
+                restored_override["w"] = jax.device_put(
+                    jnp.asarray(state["batch_w"]), repl)
 
     base_key = jax.random.PRNGKey(cfg.seed)
 
-    def interval_batch(epoch, p, cond, ec):
+    def interval_batch(epoch, p, cond, ec, override=None):
         """The per-interval batch (boot-augmented pairs + negatives + MTL
         head batches) — ONE construction shared by both dispatch modes
         (VERDICT r2 Next #5; the two copies had already diverged on
         dropout-key handling).  ``cond(pred, then, orelse)`` abstracts the
         control-flow style: a Python if for the eager path (epoch is an
-        int) vs lax.cond for the fused path (epoch is traced).  Keys fold
-        the interval-aligned epoch, so a mid-interval resume regenerates
-        the identical batch (bit-exact resume); same on every host
-        (SURVEY.md §7 hard part 6)."""
+        int) vs lax.cond for the fused path (epoch is traced).  The
+        key-drawn pieces fold the interval-aligned epoch, so they are
+        identical on every host and across restarts (SURVEY.md §7 hard
+        part 6).  The PARAMS-dependent pieces (hard negatives, boot-merged
+        pairs) are only reconstructable at the interval boundary they were
+        mined at — a mid-interval resume passes them back in via
+        ``override`` (from the checkpoint, mirroring train/loop.py's
+        saved-negatives design; round-4b trainer review)."""
         bk = jax.random.fold_in(base_key, epoch - epoch % cfg.neg_every)
         ks = jax.random.split(bk, 4)
-        if use_boot:
-            bp, bw = cond((epoch >= cfg.boot_start) & (epoch > 0),
-                          lambda: propose_boot_jit(p, ec), lambda: boot_placeholder)
-            pairs_t, w = with_boot(bp, bw)
+        if override is not None:
+            pairs_t, w = override["pairs"], override.get("w")
+            neg_l, neg_r = override["neg_l"], override["neg_r"]
         else:
-            pairs_t, w = pairs, None
+            if use_boot:
+                bp, bw = cond((epoch >= cfg.boot_start) & (epoch > 0),
+                              lambda: propose_boot_jit(p, ec), lambda: boot_placeholder)
+                pairs_t, w = with_boot(bp, bw)
+            else:
+                pairs_t, w = pairs, None
 
-        def negs_uniform():
-            nl, nr = sample_uniform_negatives(ks[0], pairs_t, n1, n, cfg.k_neg)
-            return nl, nr + (r0 - n1)  # KG2 draws -> row space (no-op ungrouped)
+            def negs_uniform():
+                nl, nr = sample_uniform_negatives(ks[0], pairs_t, n1, n, cfg.k_neg)
+                return nl, nr + (r0 - n1)  # KG2 draws -> row space (no-op ungrouped)
 
-        if cfg.neg_mode == "hard":
-            neg_l, neg_r = cond(epoch > 0,
-                                lambda: resample_hard(p, pairs_t, ec), negs_uniform)
-        else:
-            neg_l, neg_r = negs_uniform()
+            if cfg.neg_mode == "hard":
+                neg_l, neg_r = cond(epoch > 0,
+                                    lambda: resample_hard(p, pairs_t, ec), negs_uniform)
+            else:
+                neg_l, neg_r = negs_uniform()
         batch = {"pairs": pairs_t, "w": w, "neg_l": neg_l, "neg_r": neg_r}
         if cfg.use_rel_head:
             kt, kh = jax.random.split(ks[1])
@@ -701,17 +794,14 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
     def make_batch(epoch):
         return interval_batch(epoch, params, eager_cond, enc_consts)
 
-    steps = max(1, cfg.steps_per_call)
-    if steps > 1 and steps != cfg.neg_every:
-        raise ValueError("steps_per_call > 1 requires steps_per_call == neg_every")
-    if steps > 1 and cfg.profile_dir:
-        raise ValueError("profile_dir requires steps_per_call=1 (per-epoch trace windows)")
-
     @jax.jit
     def train_interval(params, opt_state, epoch0, ec):
         """Fused resample + neg_every steps (see train/loop.py rationale).
-        NOTE: dist checkpoints hold only params/opt_state, so resume is exact
-        at interval boundaries (which is where fused chunks always land)."""
+        NOTE: fused chunks always start and save at interval boundaries,
+        where key-deterministic regeneration is exact — so this path saves
+        no interval-batch state (the steps == 1 path does, see the
+        checkpoint template; mixing steps_per_call across a save/resume
+        raises actionably)."""
         batch = interval_batch(epoch0, params, traced_cond, ec)
 
         def body(carry, e):
@@ -728,10 +818,37 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
         )
         return params, opt_state, losses[-1], jax.tree_util.tree_map(lambda a: a[-1], auxs)
 
-    logger = MetricsLogger(cfg.metrics_path, config=cfg.to_dict(), tb_dir=cfg.tb_dir)
+    # metrics/TB sinks write from process 0 only: under multi-process
+    # jax.distributed every host runs this loop, and shared metrics_path /
+    # tb_dir storage would get one interleaved copy of every record per
+    # process (round-4b trainer review); history (in-memory) stays on all
+    # processes — it feeds each process's TrainResult
+    proc0 = jax.process_index() == 0
+    logger = MetricsLogger(cfg.metrics_path if proc0 else None,
+                           config=cfg.to_dict(),
+                           tb_dir=cfg.tb_dir if proc0 else None)
+
+    def preempt_agreed() -> bool:
+        """Cross-process agreement on the SIGTERM latch: the signal lands on
+        each host at a different instant, and acting on the local flag alone
+        lets hosts exit the loop (and enter the collective Orbax save /
+        final-eval programs) at DIFFERENT epochs — mismatched collectives
+        hang until the grace period kills the job (round-4b trainer
+        review).  One tiny allgather per epoch, multi-process only."""
+        if jax.process_count() == 1:
+            return ckpt.preempted
+        from jax.experimental import multihost_utils
+
+        import numpy as _np
+
+        return bool(_np.asarray(multihost_utils.process_allgather(
+            _np.asarray([ckpt.preempted]))).any())
+
     history = []
     batch = None
-    loss = jnp.nan  # guards relaunch-of-completed-run (loop body may not run)
+    loss = restored_loss if restored_loss is not None else jnp.nan
+    # ^ nan only on a fresh run that never enters the loop; a relaunch of a
+    # completed run reports the checkpointed loss like fit() does
     aux = {}
     trace_on = False  # start/stop must pair even if the loop ends early
     t_start = time.perf_counter()
@@ -751,7 +868,16 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
                 )
             else:
                 if epoch % cfg.neg_every == 0 or batch is None:
-                    batch = make_batch(epoch)
+                    if restored_override is not None and epoch % cfg.neg_every != 0:
+                        # mid-interval resume: the boundary's mined negatives /
+                        # boot pairs come from the checkpoint; the key-drawn
+                        # pieces are rebuilt from the interval key as usual
+                        batch = interval_batch(epoch, params, eager_cond,
+                                               enc_consts,
+                                               override=restored_override)
+                    else:
+                        batch = make_batch(epoch)
+                    restored_override = None  # one-shot: next boundary regenerates
                 if use_dropout:  # fresh mask every epoch (matches fit())
                     batch = {**batch,
                              "drop_key": jax.random.fold_in(drop_base, epoch)}
@@ -763,12 +889,27 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
                 trace_on = False
             last = epoch + steps - 1
             def _save_ckpt(at_epoch):
-                ckpt.maybe_save(at_epoch, {"params": params, "opt_state": opt_state,
-                                           "layout": layout}, force=True)
+                state = {"params": params, "opt_state": opt_state,
+                         "layout": layout,
+                         "loss": jax.device_put(
+                             jnp.asarray(loss, jnp.float32), repl)}
+                if steps == 1:
+                    # the interval's params-dependent batch state — see the
+                    # resume-state comment at the checkpoint template.
+                    # device_put to the mesh-replicated sharding: with
+                    # slice_shards == 1 these are eager host-local arrays and
+                    # Orbax refuses host-local values under multi-process
+                    # jax.distributed (same placement rule as `layout`)
+                    state["batch_pairs"] = jax.device_put(batch["pairs"], repl)
+                    state["batch_neg_l"] = jax.device_put(batch["neg_l"], repl)
+                    state["batch_neg_r"] = jax.device_put(batch["neg_r"], repl)
+                    if use_boot:
+                        state["batch_w"] = jax.device_put(batch["w"], repl)
+                ckpt.maybe_save(at_epoch, state, force=True)
 
             if ckpt.enabled and (
                 (last > 0 and last % cfg.checkpoint_every < steps) or last >= cfg.epochs - 1
-                or ckpt.preempted
+                or preempt_agreed()
             ):
                 _save_ckpt(last)
             if cfg.eval_every and (last % cfg.eval_every < steps or last >= cfg.epochs - 1):
@@ -777,7 +918,8 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
                 rec = {
                     "epoch": last, "loss": float(loss), "wall_s": round(wall, 3),
                     "edges_per_s": round(
-                        epoch_edge_ops(hg.nnz, use_ae) * (last + 1)
+                        # epochs run in THIS process — see train/loop.py note
+                        epoch_edge_ops(hg.nnz, use_ae) * (last + 1 - start_epoch)
                         / max(wall, 1e-9), 1),
                     **{f"loss_{k}": float(v) for k, v in aux.items()},
                     **{k: round(v, 4) for k, v in m.items()},
@@ -787,8 +929,10 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
                 if verbose:
                     print(f"[dist:{cfg.name}@{n_shards}] epoch {last} loss {rec['loss']:.4f} "
                           f"hits@1 {m['hits@1']:.3f}")
-            if ckpt.preempted:
-                # latch may fire after the save block's check (e.g. during eval)
+            if preempt_agreed():
+                # latch may fire after the save block's check (e.g. during
+                # eval); the agreement collective guarantees every process
+                # takes this branch at the SAME epoch
                 if ckpt.enabled:
                     _save_ckpt(last)
                 break  # clean exit for relaunch
@@ -799,6 +943,12 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
             jax.profiler.stop_trace()
             trace_on = False
         ckpt.restore_handler()
+        # flush pending async saves BEFORE the exact full-pool final eval:
+        # on the preemption path the emergency save is still in flight here,
+        # and if the scheduler kills the VM mid-eval the save is silently
+        # lost — fit() closes before its final eval for the same reason
+        # (round-4b trainer review); close() is idempotent.
+        ckpt.close()
         final = dist_eval(params, final=True)
     final["final_loss"] = float(loss)
     if cfg.save_emb_path:  # gather the sharded table and hand it to serving
@@ -807,10 +957,16 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
         from tpugraph.serve import save_embeddings
 
         with mesh:
-            emb_host = _np.asarray(jax.device_get(embed(params, enc_consts)))
+            # re-place replicated first: under multi-process jax.distributed
+            # the P('graph','feature')-sharded embed output spans
+            # non-addressable devices and a direct device_get raises
+            # (round-4b trainer review); a fully-replicated array is
+            # host-fetchable everywhere
+            emb_repl = jax.jit(embed, out_shardings=repl)(params, enc_consts)
+            emb_host = _np.asarray(emb_repl)
         if cfg.halo_grouped:  # de-remap: serving expects row == entity id
             emb_host = _np.concatenate([emb_host[:n1], emb_host[r0:r1]], axis=0)
-        save_embeddings(cfg.save_emb_path, emb_host)
-    ckpt.close()
+        if proc0:  # one writer — every process holds the same replica
+            save_embeddings(cfg.save_emb_path, emb_host)
     logger.close()
     return TrainResult(params=params, metrics=final, history=history, task=task)

@@ -27,6 +27,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from tpugraph.kernels import vjp_util
 from tpugraph.sparse.graph import PaddedEdges, SpMMOperator
 
 
@@ -42,6 +43,11 @@ def _segment_spmm(edges: PaddedEdges, x: jax.Array) -> jax.Array:
 
     chex.assert_rank(x, 2)  # (n_cols, d) feature matrix
     chex.assert_equal_shape([edges.src, edges.dst, edges.w])
+    # jnp.take clamps out-of-range ids — a mis-sized x would be silently
+    # clamp-gathered (round-4b kernels review); None only for hand-builts
+    assert edges.n_cols is None or x.shape[0] == edges.n_cols, (
+        f"spmm: x has {x.shape[0]} rows but the operator expects "
+        f"{edges.n_cols}")
     msg = jnp.take(x, edges.src, axis=0).astype(jnp.float32) * edges.w[:, None]
     out = jax.ops.segment_sum(
         msg,
@@ -59,32 +65,27 @@ def spmm_xla(op: SpMMOperator, x: jax.Array) -> jax.Array:
 
 @jax.custom_vjp
 def spmm(op: SpMMOperator, x: jax.Array) -> jax.Array:
-    """A @ x with a sorted-transpose custom VJP (fast backward)."""
+    """A @ x with a sorted-transpose custom VJP (fast backward).
+
+    Gradient contract: the OPERATOR is a constant — ``op.fwd.w`` receives
+    cotangent **zero** (kernels/vjp_util.py rationale).  Edge weights in
+    this family are precomputed funifun/degree statistics, never
+    parameters; a caller that makes them learnable must use ``spmm_xla``,
+    whose plain XLA autodiff differentiates through the weights."""
     return _segment_spmm(op.fwd, x)
 
 
 def _spmm_fwd(op: SpMMOperator, x: jax.Array):
-    # (1,1) zero slice of x: carried only for its shard_map varying-axes
-    # type, so _spmm_bwd can pin dx to the primal's axes — same defensive
-    # structure as kernels/spmm_ell.py (see the rationale there).
-    x_tok = jax.lax.slice(x, (0, 0), (1, 1)) * 0
-    return _segment_spmm(op.fwd, x), (op, x_tok)
+    # VMA-type token — see kernels/vjp_util.py for the rationale
+    return _segment_spmm(op.fwd, x), (op, vjp_util.vma_token(x))
 
 
 def _spmm_bwd(res, g: jax.Array):
     op, x_tok = res
     dx = _segment_spmm(op.bwd, g)  # Aᵀ @ g, also sorted-contiguous
-    dx = dx + x_tok.astype(dx.dtype)  # value no-op; VMA union with primal x
-    zero_op = jax.tree_util.tree_map(_zero_cotangent, op)
+    dx = vjp_util.add_token(dx, x_tok)
+    zero_op = jax.tree_util.tree_map(vjp_util.zero_cotangent, op)
     return zero_op, dx
-
-
-def _zero_cotangent(leaf):
-    import numpy as np
-
-    if jnp.issubdtype(leaf.dtype, jnp.integer):
-        return np.zeros(leaf.shape, dtype=jax.dtypes.float0)
-    return jnp.zeros_like(leaf)
 
 
 spmm.defvjp(_spmm_fwd, _spmm_bwd)

@@ -12,6 +12,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from tpugraph.kernels import vjp_util
 from tpugraph.sparse.ell import EllMatrix, EllOperator
 
 
@@ -23,6 +24,12 @@ def _ell_apply(m: EllMatrix, x: jax.Array) -> jax.Array:
     with degree 0 (and any padded bucket rows — buckets may be padded to
     common sizes for the stacked/sharded case) resolve through row_order to
     zero without a dedicated zeros block."""
+    # jnp.take CLAMPS out-of-range ids, so a mis-sized x would be silently
+    # clamp-gathered into wrong numbers — fail at trace time instead
+    # (round-4b kernels review; n_cols is None only for hand-built matrices)
+    assert m.n_cols is None or x.shape[0] == m.n_cols, (
+        f"spmm_ell: x has {x.shape[0]} rows but the operator expects "
+        f"{m.n_cols}")
     outs = []
     for b in m.buckets:
         g = jnp.take(x, b.idx.reshape(-1), axis=0)  # (R*K, d) — the hot gather
@@ -45,40 +52,32 @@ def _apply_with_diag(m: EllMatrix, diag, x: jax.Array) -> jax.Array:
 
 @jax.custom_vjp
 def spmm_ell(op: EllOperator, x: jax.Array) -> jax.Array:
+    """A @ x, scatter-free in fwd AND bwd.
+
+    Gradient contract: the OPERATOR is a constant — ``op``'s weight/diag
+    leaves receive cotangent **zero** (kernels/vjp_util.py rationale);
+    learnable edge weights need ``spmm_xla``.  Numerics contract: ELL pad
+    slots read row 0 of x with weight 0.0 — a NON-FINITE x[0] therefore
+    poisons every under-cap padded row (0·NaN = NaN), unlike the sorted
+    path whose pad edges drain to a sliced-off dump row.  Features must be
+    finite (they always are in training; NaN-probing debuggers should use
+    impl='sorted')."""
     return _apply_with_diag(op.fwd, op.diag, x)
 
 
 def _fwd(op, x):
-    # x_tok: a (1, 1) zero slice of the primal input, carried through the
-    # residuals ONLY for its varying-manual-axes (shard_map VMA) type.  Under
-    # a multi-axis mesh (e.g. 3-D slice×graph×feature, dist/trainer.py) the
-    # primal x can vary over MORE mesh axes than (op, g) do — e.g. a
-    # feature-invariant cotangent flowing back through the l2-normalize psum
-    # transpose — and a custom-VJP bwd must return dx with exactly the
-    # primal's varying axes.  Deriving dx's axes from (op, g) alone made that
-    # match schedule-dependent (the round-2 driver dryrun failure,
-    # VERDICT.md weak #3); unioning the token pins it structurally.
-    x_tok = jax.lax.slice(x, (0, 0), (1, 1)) * 0
-    return _apply_with_diag(op.fwd, op.diag, x), (op, x_tok)
+    # x_tok: VMA-type carrier — see kernels/vjp_util.py for the rationale
+    # (the round-2 schedule-dependent dryrun failure, VERDICT.md weak #3)
+    return _apply_with_diag(op.fwd, op.diag, x), (op, vjp_util.vma_token(x))
 
 
 def _bwd(res, g):
     op, x_tok = res
     # the diagonal is symmetric, so Aᵀ = Bᵀ + diag with the same vector
     dx = _apply_with_diag(op.bwd, op.diag, g)
-    # broadcast-add of the zero token: value no-op, VMA union with the
-    # primal's axes (jax inserts the pvary on the less-varying operand)
-    dx = dx + x_tok.astype(dx.dtype)
-    zero_op = jax.tree_util.tree_map(_zero_cot, op)
+    dx = vjp_util.add_token(dx, x_tok)
+    zero_op = jax.tree_util.tree_map(vjp_util.zero_cotangent, op)
     return zero_op, dx
-
-
-def _zero_cot(leaf):
-    import numpy as np
-
-    if jnp.issubdtype(leaf.dtype, jnp.integer):
-        return np.zeros(leaf.shape, dtype=jax.dtypes.float0)
-    return jnp.zeros_like(leaf)
 
 
 spmm_ell.defvjp(_fwd, _bwd)

@@ -125,6 +125,7 @@ def pad_sort_edges(
     n_rows: int,
     bucket: int = PAD_BUCKET,
     sort_by: str = "dst",
+    n_cols: int | None = None,
 ) -> PaddedEdges:
     """Sort edges (for contiguous segment runs) and pad to a static bucket.
 
@@ -153,6 +154,7 @@ def pad_sort_edges(
         w=jnp.asarray(w_p, dtype=jnp.float32),
         n_rows=int(n_rows),
         nnz=int(nnz),
+        n_cols=int(n_cols) if n_cols is not None else None,
     )
 
 
@@ -171,9 +173,15 @@ def build_spmm_operator(
     rectangular A (n_rows × n_cols, e.g. the entity×attribute incidence)
     pass ``n_cols``: the transpose has that many output rows.
     """
-    fwd = pad_sort_edges(src, dst, w, n_rows, bucket, sort_by="dst")
-    bwd = pad_sort_edges(dst, src, w, n_cols if n_cols is not None else n_rows,
-                         bucket, sort_by="dst")
+    nc = n_cols if n_cols is not None else n_rows
+    if len(src) and int(np.max(src)) >= nc:
+        raise ValueError(
+            f"build_spmm_operator: src id {int(np.max(src))} out of range "
+            f"for n_cols={nc} (rectangular matrix? pass n_cols explicitly)")
+    fwd = pad_sort_edges(src, dst, w, n_rows, bucket, sort_by="dst",
+                         n_cols=nc)
+    bwd = pad_sort_edges(dst, src, w, nc, bucket, sort_by="dst",
+                         n_cols=n_rows)
     return SpMMOperator(fwd=fwd, bwd=bwd)
 
 

@@ -28,7 +28,9 @@ import numpy as np
 @jax.tree_util.register_dataclass
 @dataclass
 class EllBucket:
-    rows: jax.Array  # (R,) int32 — natural row ids of this bucket
+    rows: jax.Array | None  # (R,) int32 — natural row ids of this bucket;
+    # None for stacked halo operators (aggregation needs only idx/w/row_order
+    # — the payload would be dead weight on device, sparse/halo_ell.py)
     idx: jax.Array  # (R, K) int32 — source ids (pad: 0)
     w: jax.Array  # (R, K) float32 — edge weights (pad: 0.0)
     k: int = field(metadata=dict(static=True))
@@ -44,6 +46,10 @@ class EllMatrix:
     row_order: jax.Array  # (N,) int32: natural row id -> position in concat output
     n_rows: int = field(metadata=dict(static=True))
     nnz: int = field(metadata=dict(static=True))
+    n_cols: int | None = field(default=None, metadata=dict(static=True))
+    # ^ column count A expects of x — jnp.take clamps out-of-range indices,
+    # so a mis-sized feature matrix was silently clamp-gathered instead of
+    # raising (round-4b kernels review); the appliers assert when set
 
     @property
     def padded_edges(self) -> int:
@@ -64,12 +70,25 @@ def _bucket_caps(max_deg: int) -> list[int]:
 
 
 def build_ell(
-    src: np.ndarray, dst: np.ndarray, w: np.ndarray, n_rows: int
+    src: np.ndarray, dst: np.ndarray, w: np.ndarray, n_rows: int,
+    n_cols: int | None = None,
 ) -> EllMatrix:
-    """COO (any order) → degree-bucketed ELL. Vectorized host-side numpy."""
+    """COO (any order) → degree-bucketed ELL. Vectorized host-side numpy.
+
+    ``n_cols`` (the x-row count A applies to; defaults to n_rows, i.e.
+    square): validated against the src ids so a rectangular build with the
+    wrong dimension fails HERE with a clear message instead of as an
+    opaque IndexError inside the transpose build or a clamp-gathered wrong
+    answer at apply time (round-4b kernels review)."""
     import jax.numpy as jnp
 
     nnz = len(src)
+    if n_cols is None:
+        n_cols = n_rows
+    if nnz and int(src.max()) >= n_cols:
+        raise ValueError(
+            f"build_ell: src id {int(src.max())} out of range for "
+            f"n_cols={n_cols} (rectangular matrix? pass n_cols explicitly)")
     order = np.argsort(dst, kind="stable")
     src_s, dst_s, w_s = src[order], dst[order], w[order]
     deg = np.bincount(dst_s, minlength=n_rows)
@@ -80,8 +99,9 @@ def build_ell(
     buckets = []
     out_rows = []
     max_deg = int(deg.max()) if nnz else 1
-    for i, cap in enumerate(_bucket_caps(max_deg)):
-        lo = _bucket_caps(max_deg)[i - 1] if i > 0 else 0
+    caps = _bucket_caps(max_deg)
+    for i, cap in enumerate(caps):
+        lo = caps[i - 1] if i > 0 else 0
         rows = np.where((deg > lo) & (deg <= cap))[0]
         if len(rows) == 0:
             continue
@@ -109,6 +129,7 @@ def build_ell(
         row_order=jnp.asarray(row_order.astype(np.int32)),
         n_rows=int(n_rows),
         nnz=int(nnz),
+        n_cols=int(n_cols),
     )
 
 
@@ -166,7 +187,8 @@ def build_ell_operator(
             diag=jnp.asarray(d, jnp.float32),
             n_diag=int(on_diag.sum()),
         )
+    nc = n_cols if n_cols is not None else n_rows
     return EllOperator(
-        fwd=build_ell(src, dst, w, n_rows),
-        bwd=build_ell(dst, src, w, n_cols if n_cols is not None else n_rows),
+        fwd=build_ell(src, dst, w, n_rows, n_cols=nc),
+        bwd=build_ell(dst, src, w, nc, n_cols=n_rows),
     )

@@ -118,6 +118,11 @@ class PaddedEdges:
     w: jax.Array  # (E_pad,) float32
     n_rows: int = field(metadata=dict(static=True))
     nnz: int = field(metadata=dict(static=True))  # true edge count (pre-pad)
+    n_cols: int | None = field(default=None, metadata=dict(static=True))
+    # ^ x-row count the gather expects (see EllMatrix.n_cols rationale);
+    # the dst non-decreasing contract is likewise the BUILDER's job
+    # (build.pad_sort_edges) — segment_sum consumes indices_are_sorted=True
+    # and silently mis-sums on hand-built unsorted lists
 
     @property
     def e_pad(self) -> int:

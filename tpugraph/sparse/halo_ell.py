@@ -26,6 +26,13 @@ from tpugraph.sparse.partition import HaloGraph
 
 
 def _caps(max_deg: int) -> list[int]:
+    """Pure power-of-two bucket caps — DELIBERATELY coarser than ell.py's
+    exact small-degree buckets (1..8 then powers of two): stacked operators
+    size every bucket to the max row count over shards, so fine-grained
+    buckets mostly buy empty (R=0) buckets on some shards plus more
+    all-shard padding, not less; the per-row pad waste (e.g. degree 5 → 8)
+    is bounded 2× and measured immaterial (gathered pad rows of the
+    repeated zero row are near-free, DESIGN.md §3)."""
     caps, k = [], 1
     while k < max_deg:
         caps.append(k)
@@ -34,10 +41,21 @@ def _caps(max_deg: int) -> list[int]:
     return caps
 
 
-def _build_stacked_ell(per_shard_edges, n_rows: int) -> EllMatrix:
+def _build_stacked_ell(per_shard_edges, n_rows: int,
+                       n_cols: int | None = None) -> EllMatrix:
     """per_shard_edges: list of (src, dst, w) numpy triples (dst in [0,n_rows)).
-    Returns an EllMatrix whose leaves carry a leading shard axis."""
+    Returns an EllMatrix whose leaves carry a leading shard axis.
+    ``n_cols``: the x-row count the apply expects (per shard) — validated
+    and recorded so a mis-sized x fails at trace time (sparse/ell.py)."""
     import jax.numpy as jnp
+
+    if n_cols is not None:
+        mx = max((int(s.max()) for s, _, _ in per_shard_edges if len(s)),
+                 default=-1)
+        if mx >= n_cols:
+            raise ValueError(
+                f"_build_stacked_ell: src id {mx} out of range for "
+                f"n_cols={n_cols}")
 
     s = len(per_shard_edges)
     degs = [np.bincount(d, minlength=n_rows) for _, d, _ in per_shard_edges]
@@ -63,7 +81,6 @@ def _build_stacked_ell(per_shard_edges, n_rows: int) -> EllMatrix:
         r_b = max(len(r) for r in mem)
         idx = np.zeros((s, r_b, cap), np.int32)
         val = np.zeros((s, r_b, cap), np.float32)
-        rows_arr = np.zeros((s, r_b), np.int32)
         for sh, rows in enumerate(mem):
             if len(rows) == 0:
                 continue
@@ -79,13 +96,16 @@ def _build_stacked_ell(per_shard_edges, n_rows: int) -> EllMatrix:
             pos = np.arange(len(ds)) - starts[ds]
             idx[sh, rpos[ds], pos] = ss_
             val[sh, rpos[ds], pos] = ws
-            rows_arr[sh, : len(rows)] = rows
             row_order[sh, rows] = offsets[bi] + np.arange(len(rows))
-        buckets.append(EllBucket(rows=jnp.asarray(rows_arr), idx=jnp.asarray(idx),
+        # rows=None: the aggregation consumes only idx/w/row_order — the
+        # natural-row-id payload would ride the device pytree per shard as
+        # dead weight (only the single-graph locality probe reads .rows)
+        buckets.append(EllBucket(rows=None, idx=jnp.asarray(idx),
                                  w=jnp.asarray(val), k=int(cap)))
     nnz = sum(len(p[0]) for p in per_shard_edges)
     return EllMatrix(buckets=buckets, row_order=jnp.asarray(row_order.astype(np.int32)),
-                     n_rows=int(n_rows), nnz=int(nnz))
+                     n_rows=int(n_rows), nnz=int(nnz),
+                     n_cols=int(n_cols) if n_cols is not None else None)
 
 
 def _extract(hg: HaloGraph, group: str):
@@ -116,6 +136,8 @@ class HaloEll:
     nnz: int = field(metadata=dict(static=True))
     n_rows: int = field(metadata=dict(static=True))
     n_groups: int = field(default=1, metadata=dict(static=True))
+    has_halo: bool = field(default=True, metadata=dict(static=True))
+    # ^ mirrors HaloGraph.has_halo (see sparse/partition.py)
 
     @property
     def group_size(self) -> int:
@@ -147,19 +169,23 @@ def build_halo_ell(hg: HaloGraph) -> HaloEll:
         n_diag += int(on_d.sum())
         loc_off.append((s_[~on_d], d_[~on_d], w_[~on_d]))
     loc = EllOperator(
-        fwd=_build_stacked_ell(loc_off, hg.n_loc),
-        bwd=_build_stacked_ell([(d, s, w) for s, d, w in loc_off], hg.n_loc),
+        fwd=_build_stacked_ell(loc_off, hg.n_loc, n_cols=hg.n_loc),
+        bwd=_build_stacked_ell([(d, s, w) for s, d, w in loc_off], hg.n_loc,
+                               n_cols=hg.n_loc),
         diag=jnp.asarray(diag),
         n_diag=n_diag,
     )
     bnd = EllOperator(
-        fwd=_build_stacked_ell(bnd_edges, hg.n_loc),
-        bwd=_build_stacked_ell([(d, s, w) for s, d, w in bnd_edges], n_ext),
+        # bnd fwd src indexes the flattened recv buffer [0, n_ext)
+        fwd=_build_stacked_ell(bnd_edges, hg.n_loc, n_cols=n_ext),
+        bwd=_build_stacked_ell([(d, s, w) for s, d, w in bnd_edges], n_ext,
+                               n_cols=hg.n_loc),
     )
     return HaloEll(
         loc=loc, bnd=bnd, send_idx=hg.send_idx, send_mask=hg.send_mask,
         n_shards=hg.n_shards, n_loc=hg.n_loc, halo_b=hg.halo_b,
         nnz=hg.nnz, n_rows=hg.n_rows, n_groups=hg.n_groups,
+        has_halo=hg.has_halo,
     )
 
 
@@ -200,5 +226,5 @@ def build_attr_incidence_ell(attr_triples: np.ndarray, n_ent: int, n_attr: int,
         w_s = w[sel]
         fwd_parts.append((a_s, e_s, w_s))
         bwd_parts.append((e_s, a_s, w_s))
-    return EllOperator(fwd=_build_stacked_ell(fwd_parts, n_loc),
-                       bwd=_build_stacked_ell(bwd_parts, n_attr))
+    return EllOperator(fwd=_build_stacked_ell(fwd_parts, n_loc, n_cols=n_attr),
+                       bwd=_build_stacked_ell(bwd_parts, n_attr, n_cols=n_loc))

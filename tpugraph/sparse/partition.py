@@ -14,9 +14,13 @@ Contiguous entity-range partition over the 'graph' mesh axis:
 
 All shapes are static: per-shard edge counts padded to the max over shards
 (separately for local/boundary groups), halo block B padded to the max over
-(sender, receiver) pairs.  Local edge src ids are remapped into the
-"extended" local index space [0, Nloc) ∪ boundary slots
-[Nloc, Nloc + n_shards·B); the pad row is the last extended row.
+(sender, receiver) pairs.  Index spaces (two SEPARATE src spaces, one dst
+space): local-group src is a local row id in [0, Nloc); boundary-group src
+indexes the flattened recv buffer [0, G·B) as owner-rank-within-group·B +
+slot (G = exchange-group size, n_shards when ungrouped); dst in both groups
+is a local row id with pad edges pointing at the extra segment Nloc, which
+the aggregators allocate and slice off (dropped in fwd, zero cotangent in
+bwd — see dist/halo._segsum / halo_ell).
 
 Host-side numpy only; the device sees stacked (n_shards, …) arrays that
 shard_map splits along the 'graph' axis.
@@ -44,7 +48,7 @@ class HaloGraph:
     loc_dst: jax.Array  # (S, E_loc) int32 — local dst row; pad = n_loc
     loc_w: jax.Array  # (S, E_loc) float32
     # boundary edge group (src arrives via halo exchange), sorted by dst
-    bnd_src: jax.Array  # (S, E_bnd) int32 — index into recv buffer [0, S*B)
+    bnd_src: jax.Array  # (S, E_bnd) int32 — index into recv buffer [0, G*B)
     bnd_dst: jax.Array  # (S, E_bnd) int32 — local dst row; pad = n_loc
     bnd_w: jax.Array  # (S, E_bnd) float32
     # halo exchange index lists.  G = n_shards // n_groups is the exchange
@@ -59,6 +63,13 @@ class HaloGraph:
     nnz: int = field(metadata=dict(static=True))
     n_rows: int = field(metadata=dict(static=True))  # original (unpadded) N
     n_groups: int = field(default=1, metadata=dict(static=True))
+    has_halo: bool = field(default=True, metadata=dict(static=True))
+    # ^ False when NO shard needs any remote row (e.g. n_shards=1, or a
+    # perfectly component-aligned partition): the encoder then skips the
+    # exchange and the boundary aggregation entirely — halo_b is floored at
+    # pad_halo_to, so a boundary-free run would otherwise gather, mask,
+    # all_to_all and aggregate a full padded buffer of zeros on every layer
+    # pass (round-4b halo review)
 
     @property
     def group_size(self) -> int:
@@ -115,7 +126,6 @@ def partition_edges(
                 f"the row remap")
 
     loc_parts, bnd_parts = [], []
-    send_sets: list[list[np.ndarray]] = [[None] * n_shards for _ in range(n_shards)]
     recv_maps = []
     for s in range(n_shards):
         mine = owner_dst == s
@@ -125,7 +135,6 @@ def partition_edges(
         loc_parts.append((e_src[local] - s * n_loc, e_dst[local] - s * n_loc, e_w[local]))
         # boundary group: figure out needed remote rows per owner shard
         b_src, b_dst, b_w, b_own = e_src[~local], e_dst[~local], e_w[~local], e_own[~local]
-        slot_of = {}
         slots = np.empty(len(b_src), np.int64)
         per_owner_needed: dict[int, list[int]] = {}
         for o in range(n_shards):
@@ -134,7 +143,9 @@ def partition_edges(
             per_owner_needed[o] = uniq
             slots[sel] = inv  # position within owner block, offset applied later
         recv_maps.append(per_owner_needed)
-        bnd_parts.append((b_src, b_dst - s * n_loc, b_w, b_own, slots))
+        # b_src itself is consumed no further: its information lives on in
+        # (b_own, slots), which _pack turns into the recv-buffer index
+        bnd_parts.append((b_dst - s * n_loc, b_w, b_own, slots))
 
     # halo block size B = max needed across (owner, receiver) pairs
     halo_b = 1
@@ -169,7 +180,7 @@ def partition_edges(
         a_w = np.zeros((S, e_max), np.float32)
         for s, p in enumerate(parts):
             if boundary:
-                b_src, b_dst, b_w, b_own, slots = p
+                b_dst, b_w, b_own, slots = p
                 # recv buffer is laid out [owner-rank-within-group, slot]
                 idx = ((b_own % g_size) * halo_b + slots).astype(np.int64)
                 order = np.argsort(b_dst, kind="stable")
@@ -195,4 +206,5 @@ def partition_edges(
         send_idx=jnp.asarray(send_idx), send_mask=jnp.asarray(send_mask),
         n_shards=int(n_shards), n_loc=int(n_loc), halo_b=int(halo_b),
         nnz=int(len(src)), n_rows=int(n_rows), n_groups=int(n_groups),
+        has_halo=bool(send_mask.any()),
     )

@@ -173,6 +173,11 @@ def fit(
     if steps > 1 and steps != cfg.neg_every:
         raise ValueError("steps_per_call > 1 requires steps_per_call == neg_every "
                          "(one fused dispatch per resample interval)")
+    if steps > 1 and cfg.epochs % steps:
+        raise ValueError(
+            f"epochs={cfg.epochs} is not a multiple of steps_per_call={steps}: "
+            f"the fused interval always runs a full {steps}-epoch scan, so the "
+            f"run would silently train past cfg.epochs — adjust one of them")
     if steps > 1 and cfg.profile_dir:
         raise ValueError("profile_dir requires steps_per_call=1 (per-epoch trace windows)")
 
@@ -338,7 +343,11 @@ def fit(
                 "loss": float(loss),
                 "wall_s": round(wall, 3),
                 "edges_per_s": round(
-                    epoch_edge_ops(nnz) * (last_of_chunk + 1) / max(wall, 1e-9), 1),
+                    # epochs RUN IN THIS PROCESS (wall covers only those): after
+                    # a resume, (last + 1) would overstate by the pre-resume
+                    # epochs — up to checkpoint_every× (round-4b trainer review)
+                    epoch_edge_ops(nnz) * (last_of_chunk + 1 - start_epoch)
+                    / max(wall, 1e-9), 1),
                 **{k: round(v, 4) for k, v in m.items()},
             }
             history.append(rec)

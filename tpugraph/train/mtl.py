@@ -177,6 +177,11 @@ def fit_mtl(cfg: TrainConfig, task: AlignTask | None = None, verbose: bool = Fal
     steps = max(1, cfg.steps_per_call)
     if steps > 1 and steps != cfg.neg_every:
         raise ValueError("steps_per_call > 1 requires steps_per_call == neg_every")
+    if steps > 1 and cfg.epochs % steps:
+        raise ValueError(
+            f"epochs={cfg.epochs} is not a multiple of steps_per_call={steps}: "
+            f"the fused interval always runs a full {steps}-epoch scan, so the "
+            f"run would silently train past cfg.epochs — adjust one of them")
 
     @jax.jit
     def train_interval(params, opt_state, epoch0):
@@ -256,7 +261,9 @@ def fit_mtl(cfg: TrainConfig, task: AlignTask | None = None, verbose: bool = Fal
                 "epoch": last,
                 "wall_s": round(wall, 3),
                 "edges_per_s": round(
-                    epoch_edge_ops(op.nnz, cfg.use_attr_channel) * (last + 1)
+                    # epochs run in THIS process — see train/loop.py note
+                    epoch_edge_ops(op.nnz, cfg.use_attr_channel)
+                    * (last + 1 - start_epoch)
                     / max(wall, 1e-9), 1),
                 **{f"loss_{k}": float(v) for k, v in aux.items()},
                 **{k: round(v, 4) for k, v in m.items()},
