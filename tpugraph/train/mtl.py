@@ -219,16 +219,21 @@ def fit_mtl(cfg: TrainConfig, task: AlignTask | None = None, verbose: bool = Fal
     # state includes the batch: hard-mode resume mid-interval must reuse the
     # interval-boundary negatives/corruptions (see train/loop.py)
     probe_batch = make_batch(jax.random.fold_in(base_key, 2**31 - 2))
+    restored_loss = None
     restored = ckpt.restore_latest(abstract_like(
-        {"params": params, "opt_state": opt_state, "batch": probe_batch}))
+        {"params": params, "opt_state": opt_state, "batch": probe_batch,
+         "loss": jax.ShapeDtypeStruct((), jnp.float32)}))
     if restored is not None:
         start_epoch, state = restored
         start_epoch += 1
         params, opt_state, batch = state["params"], state["opt_state"], state["batch"]
+        restored_loss = jnp.asarray(state["loss"])
 
     logger = MetricsLogger(cfg.metrics_path, config=cfg.to_dict(), tb_dir=cfg.tb_dir)
     history = []
-    loss = jnp.nan
+    # a relaunch of a completed run reports the checkpointed loss, not nan
+    # (same convention as fit()/fit_distributed)
+    loss = restored_loss if restored_loss is not None else jnp.nan
     t_start = time.perf_counter()
     for epoch in range(start_epoch, cfg.epochs, steps):
         if steps > 1:
@@ -246,7 +251,9 @@ def fit_mtl(cfg: TrainConfig, task: AlignTask | None = None, verbose: bool = Fal
         last = epoch + steps - 1
         def _save_ckpt(at_epoch):
             ckpt.maybe_save(at_epoch, {"params": params, "opt_state": opt_state,
-                                       "batch": batch}, force=True)
+                                       "batch": batch,
+                                       "loss": jnp.asarray(loss, jnp.float32)},
+                            force=True)
 
         if ckpt.enabled and (
             (last > 0 and last % cfg.checkpoint_every < steps) or last >= cfg.epochs - 1
