@@ -125,3 +125,46 @@ def test_fused_hubness_tracks_unfused_pair():
     # small-pool clamp: k > #queries must not crash
     r_sq_s, r_l1_s = _hubness_both_approx(q[:4], cands, 10)
     assert r_sq_s.shape == (500,) and bool(jnp.all(jnp.isfinite(r_l1_s)))
+
+
+def test_exact_csls_eval_small_pool_not_perfect():
+    """Pool smaller than csls_k: the exact hubness term used to keep inf
+    pad entries, collapsing every score to -inf and silently reporting
+    Hits@k = 1.0 (round-4b eval review)."""
+    import jax.numpy as jnp
+
+    from tpugraph.train.eval import hits_at_k
+
+    rng = np.random.default_rng(9)
+    emb = jnp.asarray(rng.standard_normal((40, 8)).astype(np.float32))
+    pairs = np.stack([np.arange(6), 20 + np.arange(6)], 1).astype(np.int32)
+    m_plain = hits_at_k(emb, pairs)  # random data: far from perfect
+    m_csls = hits_at_k(emb, pairs, csls_k=10)  # k > pool size 6
+    assert m_csls["hits@1"] < 1.0 or m_plain["hits@1"] == 1.0
+    # and the clamped-k CSLS (k == pool) matches csls_k > pool exactly
+    m_csls6 = hits_at_k(emb, pairs, csls_k=6)
+    assert m_csls["hits@1"] == m_csls6["hits@1"]
+
+
+def test_approx_mining_small_pool_no_crash():
+    """Candidate pool smaller than k_neg: approx mining used to crash in
+    approx_min_k while the exact path degraded gracefully (round-4b
+    review; same class as the serve small-pool fix)."""
+    import jax.numpy as jnp
+
+    from tpugraph.train.negatives import sample_hard_negatives
+
+    rng = np.random.default_rng(10)
+    emb = jnp.asarray(rng.standard_normal((20, 8)).astype(np.float32))
+    pairs = np.stack([np.arange(5), 12 + np.arange(5)], 1).astype(np.int32)
+    # KG2 pool has 8 entities < k=10 (and KG1 pool 12 > k in one direction)
+    nl_a, nr_a = sample_hard_negatives(emb, jnp.asarray(pairs), 12, 20, k=10,
+                                       approx=True)
+    nl_e, nr_e = sample_hard_negatives(emb, jnp.asarray(pairs), 12, 20, k=10,
+                                       approx=False)
+    assert nl_a.shape == nl_e.shape == (5, 10)
+    assert bool(jnp.all((nr_a >= 12) & (nr_a < 20)))
+    # prefilter branch (cityblock) and sq branch both covered
+    nl_s, _ = sample_hard_negatives(emb, jnp.asarray(pairs), 12, 20, k=10,
+                                    approx=True, metric="sqeuclidean")
+    assert nl_s.shape == (5, 10)

@@ -624,6 +624,10 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
     layout = jax.device_put(jnp.asarray([int(cfg.halo_grouped), r0], jnp.int32),
                             repl)
     steps = max(1, cfg.steps_per_call)
+    if cfg.neg_every < 1:
+        raise ValueError(
+            "neg_every must be >= 1 (to effectively never resample, set "
+            "neg_every >= epochs)")
     if steps > 1 and steps != cfg.neg_every:
         raise ValueError("steps_per_call > 1 requires steps_per_call == neg_every")
     if steps > 1 and cfg.epochs % steps:

@@ -86,6 +86,11 @@ def _knn_mean_l1(q: jnp.ndarray, cands: jnp.ndarray, k: int, block_c: int = 1024
     blockwise with a running top-k."""
     s, d = q.shape
     c = cands.shape[0]
+    # pool smaller than k: without the clamp the running top-k retains inf
+    # pad entries, the mean is inf, every CSLS score/threshold collapses to
+    # -inf, and Hits@k silently reports 1.0 (round-4b eval review; the
+    # approx sibling _hubness_both_approx always had this clamp)
+    k = min(k, c)
     c_pad = ((c + block_c - 1) // block_c) * block_c
     cands_p = jnp.concatenate(
         [cands, jnp.full((c_pad - c, d), jnp.inf, dtype=cands.dtype)], axis=0

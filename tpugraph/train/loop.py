@@ -170,6 +170,11 @@ def fit(
         return params, opt_state, loss, aux
 
     steps = max(1, cfg.steps_per_call)
+    if cfg.neg_every < 1:
+        raise ValueError(
+            "neg_every must be >= 1 (negatives are resampled per interval; "
+            "to effectively never resample, set neg_every >= epochs) — 0 "
+            "previously died as a ZeroDivisionError (round-4b loop review)")
     if steps > 1 and steps != cfg.neg_every:
         raise ValueError("steps_per_call > 1 requires steps_per_call == neg_every "
                          "(one fused dispatch per resample interval)")
@@ -192,7 +197,14 @@ def fit(
         ``epoch`` — ONE construction shared by the eager and fused dispatch
         modes (``cond`` = eager_cond / traced_cond).  The uniform key folds
         the interval-aligned epoch so a resume mid-interval reproduces the
-        same negatives.  Returns (pairs_t, weights, neg_l, neg_r, boot)."""
+        same negatives.  Returns (pairs_t, weights, neg_l, neg_r, boot).
+
+        Known cost (eager mode only, boot+hard): propose_jit and
+        resample_hard are separate dispatches, each running the encoder
+        forward — two GCN forwards per interval boundary.  The fused path
+        (steps_per_call > 1 — every adopted --fast recipe) traces both into
+        ONE jit where XLA CSEs the identical forwards; not worth a shared
+        staging rewrite for the eager path (round-4b loop review)."""
         if use_boot:
             boot = cond((epoch >= cfg.boot_start) & (epoch > 0),
                         lambda: propose_jit(p), lambda: boot_placeholder)
@@ -260,10 +272,33 @@ def fit(
     restored_negs = None
     restored_boot = None
     restored_loss = None
-    restored = ckpt.restore_latest(abstract_like(state))
+    try:
+        restored = ckpt.restore_latest(abstract_like(state))
+    except Exception as e:
+        # pre-round-4 single-chip checkpoints (params+opt_state only) fail
+        # the structure match opaquely — same actionable conversion as
+        # dist/trainer.py, confirmed from the on-disk metadata, not the
+        # exception text (round-4b loop review)
+        if ckpt.latest_has_key("loss") is False:
+            raise ValueError(
+                f"checkpoint at {cfg.checkpoint_dir!r} predates the resume "
+                f"state (loss + interval negatives) — resuming it would "
+                f"re-mine the interval batch from the restored params and "
+                f"silently diverge; retrain or point checkpoint_dir "
+                f"elsewhere") from e
+        raise
     if restored is not None:
         start_epoch, state = restored
         start_epoch += 1
+        if steps > 1 and start_epoch % steps:
+            raise ValueError(
+                f"checkpoint at {cfg.checkpoint_dir!r} resumes at epoch "
+                f"{start_epoch}, mid-interval for steps_per_call={steps} — "
+                f"it was saved under steps_per_call=1 (fused chunks always "
+                f"save at interval ends); resume with steps_per_call=1 or "
+                f"retrain.  A misaligned fused resume would silently train "
+                f"past cfg.epochs with wrong interval keys (round-4b loop "
+                f"review)")
         params, opt_state = state["params"], state["opt_state"]
         restored_negs = (state["neg_l"], state["neg_r"])
         if use_boot:
@@ -372,11 +407,12 @@ def fit(
         trace_on = False
     ckpt.restore_handler()
     ckpt.close()  # flush async saves (the emergency one especially)
-    final = hits_at_k(embed(params), jnp.asarray(task.test_pairs), csls_k=cfg.eval_csls_k)
+    final_emb = embed(params)  # one forward shared by final eval AND export
+    final = hits_at_k(final_emb, jnp.asarray(task.test_pairs), csls_k=cfg.eval_csls_k)
     final["final_loss"] = float(loss)
     if cfg.save_emb_path:  # hand the table to the serving path (tpugraph.serve)
         from tpugraph.serve import save_embeddings
 
-        save_embeddings(cfg.save_emb_path, embed(params))
+        save_embeddings(cfg.save_emb_path, final_emb)
     logger.close()
     return TrainResult(params=params, metrics=final, history=history, op=op, model=model, task=task)

@@ -175,6 +175,10 @@ def fit_mtl(cfg: TrainConfig, task: AlignTask | None = None, verbose: bool = Fal
     make_batch_live = jax.jit(lambda key, params, epoch: make_batch(key, params, epoch))
 
     steps = max(1, cfg.steps_per_call)
+    if cfg.neg_every < 1:
+        raise ValueError(
+            "neg_every must be >= 1 (to effectively never resample, set "
+            "neg_every >= epochs)")
     if steps > 1 and steps != cfg.neg_every:
         raise ValueError("steps_per_call > 1 requires steps_per_call == neg_every")
     if steps > 1 and cfg.epochs % steps:
@@ -226,6 +230,12 @@ def fit_mtl(cfg: TrainConfig, task: AlignTask | None = None, verbose: bool = Fal
     if restored is not None:
         start_epoch, state = restored
         start_epoch += 1
+        if steps > 1 and start_epoch % steps:
+            raise ValueError(
+                f"checkpoint at {cfg.checkpoint_dir!r} resumes at epoch "
+                f"{start_epoch}, mid-interval for steps_per_call={steps} — "
+                f"it was saved under steps_per_call=1; resume with "
+                f"steps_per_call=1 or retrain (see train/loop.py)")
         params, opt_state, batch = state["params"], state["opt_state"], state["batch"]
         restored_loss = jnp.asarray(state["loss"])
 

@@ -224,7 +224,12 @@ def _knn_query_blocked_approx(q, cands, exclude, k, metric, block_q: int = 4096,
     # (cityblock + csls_k > 0 keeps the exact tile: its hubness term is
     # L1-exact and the combination is not on any hot recipe path.)
     prefilter_l1 = metric == "cityblock" and csls_k == 0
-    k_short = min(c, max(2 * k, k + 8))
+    # pool smaller than k: approx_min_k(width < k) is a hard error, while the
+    # exact merge path degrades gracefully via its inf/0 init (round-4b
+    # review — same class as the serve small-pool fix).  Select k_eff and pad
+    # the result columns with candidate 0, matching the exact path's fill.
+    k_eff = min(k, c)
+    k_short = min(c, max(2 * k_eff, k_eff + 8))
 
     def body(_, blk):
         qq, ex = blk
@@ -252,14 +257,17 @@ def _knn_query_blocked_approx(q, cands, exclude, k, metric, block_q: int = 4096,
             d_l1 = jnp.where(sidx == ex[:, None], jnp.inf, d_l1)
             # approx_min_k, not top_k: the exact rerank's full row sort cost
             # 16.7 ms/epoch at zh-en scale vs ~2 ms for the partial reduction
-            _, pos = jax.lax.approx_min_k(d_l1, k)
+            _, pos = jax.lax.approx_min_k(d_l1, k_eff)
             return None, jnp.take_along_axis(sidx, pos.astype(jnp.int32),
                                              axis=1).astype(jnp.int32)
-        _, idx = jax.lax.approx_min_k(dmat, k)
+        _, idx = jax.lax.approx_min_k(dmat, k_eff)
         return None, idx.astype(jnp.int32)
 
     _, idx = jax.lax.scan(body, None, (qb, eb))
-    return idx.reshape(q_pad, k)[:s]
+    idx = idx.reshape(q_pad, k_eff)[:s]
+    if k_eff < k:  # tiny-pool pad: candidate 0, like the exact path's fill
+        idx = jnp.pad(idx, ((0, 0), (0, k - k_eff)))
+    return idx
 
 
 def sample_hard_negatives(
