@@ -68,9 +68,12 @@ def test_dbp15k_reader_attrs_and_sup(tmp_path):
     (d / "att_triples_1").write_text("0\t2\n1\t0\n")
     (d / "att_triples_2").write_text("5\t1\n")
     task = load_dbp15k(str(tmp_path), "ja_en")
-    # sup file becomes the train split; ref becomes test
+    # sup file becomes the train split; test = ref MINUS the sup pairs —
+    # here sup [[0,5]] is a SUBSET of ref, the GCN-Align-style layout where
+    # keeping the full ref as test would leak every training pair into eval
+    # (round-4b data review)
     np.testing.assert_array_equal(task.train_pairs, [[0, 2]])
-    assert len(task.test_pairs) == 2
+    np.testing.assert_array_equal(task.test_pairs, [[1, 3]])
     assert task.n_attr == 3
     a = task.merged_attr_triples
     assert sorted(map(tuple, a)) == [(0, 2), (1, 0), (2, 1)]

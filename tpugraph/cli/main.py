@@ -24,7 +24,15 @@ def _coerce(field_type, raw: str):
     if field_type in (float, "float"):
         return float(raw)
     if field_type in (bool, "bool"):
-        return raw.lower() in ("1", "true", "yes")
+        # strict: a typo like 'ture' or 'on' must not silently become False
+        # and disable the head the user meant to enable (round-4b review)
+        low = raw.lower()
+        if low in ("1", "true", "yes"):
+            return True
+        if low in ("0", "false", "no"):
+            return False
+        raise SystemExit(f"boolean override value {raw!r} not understood "
+                         f"(use true/false, 1/0, yes/no)")
     return raw
 
 
@@ -97,6 +105,12 @@ def main(argv=None):
         overrides.setdefault("neg_metric", "sqeuclidean")
         overrides.setdefault("neg_approx", True)
     cfg = cfg.replace(**overrides)
+    if cfg.spmm_impl == "pallas":
+        # re-resolve the alias: get_config normalizes it, but a --set
+        # override lands AFTER get_config and previously reinstated
+        # 'pallas' — the trainers' fmt dispatch then built a 'sorted'
+        # operator while the layer dispatched to spmm_ell (round-4b review)
+        cfg = cfg.replace(spmm_impl="ell")
 
     # This environment's sitecustomize pre-imports jax with a pinned platform;
     # re-apply the user's JAX_PLATFORMS so `JAX_PLATFORMS=cpu python -m ...`

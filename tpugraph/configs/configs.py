@@ -20,6 +20,8 @@ class TrainConfig:
     data_root: str = "data"  # dbp15k: directory holding <pair>/; openea: the pair dir
     pair: str = "zh_en"
     train_ratio: float = 0.3
+    openea_fold: int = 1  # 721_5fold/<fold> split (1-5); 0 = ignore the
+    # official folds and use a seeded train_ratio split of ent_links
     # synthetic generator knobs (ignored for dbp15k)
     syn_n_ent: int = 2000
     syn_n_rel: int = 40
@@ -115,6 +117,25 @@ class TrainConfig:
     checkpoint_every: int = 0  # steps; 0 = disabled
     save_emb_path: str | None = None  # write the final embedding table for
     # the serving path (tpugraph.serve) after training
+
+    def __post_init__(self):
+        """Range validation for knobs whose out-of-range values previously
+        produced silent nonsense (round-4b review): train_ratio=1.5 passed
+        the CLI's type-only coercion, left the test split empty, and the
+        run printed NaN metrics as its final JSON.  Runs on construction
+        AND on every .replace()."""
+        if not 0.0 < self.train_ratio < 1.0:
+            raise ValueError(f"train_ratio={self.train_ratio} must be in "
+                             f"(0, 1) — a 1.0 split leaves no test pairs "
+                             f"and every metric would be NaN")
+        if not 0.0 <= self.dropout < 1.0:
+            raise ValueError(f"dropout={self.dropout} must be in [0, 1)")
+        if not 0.0 <= self.attr_beta <= 1.0:
+            raise ValueError(f"attr_beta={self.attr_beta} must be in [0, 1]")
+        if self.epochs < 1:
+            raise ValueError(f"epochs={self.epochs} must be >= 1")
+        if self.k_neg < 1:
+            raise ValueError(f"k_neg={self.k_neg} must be >= 1")
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

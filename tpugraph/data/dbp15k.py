@@ -33,7 +33,7 @@ def _read_tsv_ints(path: str, ncols: int) -> np.ndarray:
     rows = []
     with open(path) as f:
         for line in f:
-            parts = line.rstrip("\n").split("\t")
+            parts = line.rstrip("\r\n").split("\t")
             if len(parts) < ncols:
                 continue
             rows.append([int(p) for p in parts[:ncols]])
@@ -47,7 +47,7 @@ def _read_ids(path: str) -> np.ndarray:
     ids = []
     with open(path) as f:
         for line in f:
-            parts = line.rstrip("\n").split("\t")
+            parts = line.rstrip("\r\n").split("\t")
             if parts and parts[0]:
                 ids.append(int(parts[0]))
     return np.asarray(sorted(ids), dtype=np.int64)
@@ -58,7 +58,7 @@ def _read_uri_map(path: str) -> dict[str, int]:
     out = {}
     with open(path) as f:
         for line in f:
-            parts = line.rstrip("\n").split("\t")
+            parts = line.rstrip("\r\n").split("\t")
             if len(parts) >= 2 and parts[0]:
                 out[parts[1]] = int(parts[0])
     return out
@@ -70,7 +70,7 @@ def _read_training_attrs(path: str, uri2id: dict[str, int]) -> list[tuple[int, s
     out = []
     with open(path) as f:
         for line in f:
-            parts = [p for p in line.rstrip("\n").split("\t") if p]
+            parts = [p for p in line.rstrip("\r\n").split("\t") if p]
             if len(parts) < 2:
                 continue
             eid = uri2id.get(parts[0])
@@ -98,14 +98,26 @@ def load_dbp15k(root: str, pair: str = "zh_en", train_ratio: float = 0.3, seed: 
     remap2 = {int(g): i for i, g in enumerate(ids2)}
     n1, n2 = len(ids1), len(ids2)
 
-    def _map_triples(tri, remap):
+    def _remap_col(vals, remap, what: str):
+        """Vector remap with an actionable error: a bare KeyError from deep
+        inside a comprehension gave no file/id context on malformed or
+        truncated releases (round-4b data review)."""
+        try:
+            return [remap[int(v)] for v in vals]
+        except KeyError as e:
+            raise ValueError(
+                f"{what} references entity id {e.args[0]} that is absent "
+                f"from the corresponding ent_ids_* file under {d!r} — "
+                f"malformed or truncated release?") from None
+
+    def _map_triples(tri, remap, what):
         out = tri.copy()
-        out[:, 0] = [remap[int(v)] for v in tri[:, 0]]
-        out[:, 2] = [remap[int(v)] for v in tri[:, 2]]
+        out[:, 0] = _remap_col(tri[:, 0], remap, what)
+        out[:, 2] = _remap_col(tri[:, 2], remap, what)
         return out
 
-    tri1 = _map_triples(tri1, remap1)
-    tri2 = _map_triples(tri2, remap2)
+    tri1 = _map_triples(tri1, remap1, "triples_1")
+    tri2 = _map_triples(tri2, remap2, "triples_2")
     # relations: re-index per KG to contiguous
     r1_uniq, r1_inv = np.unique(tri1[:, 1], return_inverse=True)
     r2_uniq, r2_inv = np.unique(tri2[:, 1], return_inverse=True)
@@ -113,15 +125,15 @@ def load_dbp15k(root: str, pair: str = "zh_en", train_ratio: float = 0.3, seed: 
     tri2[:, 1] = r2_inv
 
     pairs = ref.copy()
-    pairs[:, 0] = [remap1[int(v)] for v in ref[:, 0]]
-    pairs[:, 1] = [remap2[int(v)] + n1 for v in ref[:, 1]]
+    pairs[:, 0] = _remap_col(ref[:, 0], remap1, "ref_ent_ids col 1")
+    pairs[:, 1] = np.asarray(_remap_col(ref[:, 1], remap2, "ref_ent_ids col 2")) + n1
 
     sup_path = os.path.join(d, "sup_ent_ids")
     sup = None
     if os.path.exists(sup_path):
         sup = _read_tsv_ints(sup_path, 2)
-        sup[:, 0] = [remap1[int(v)] for v in sup[:, 0]]
-        sup[:, 1] = [remap2[int(v)] + n1 for v in sup[:, 1]]
+        sup[:, 0] = _remap_col(sup[:, 0], remap1, "sup_ent_ids col 1")
+        sup[:, 1] = np.asarray(_remap_col(sup[:, 1], remap2, "sup_ent_ids col 2")) + n1
 
     attr1 = attr2 = None
     n_attr = 0
@@ -132,8 +144,8 @@ def load_dbp15k(root: str, pair: str = "zh_en", train_ratio: float = 0.3, seed: 
     if os.path.exists(ap1) and os.path.exists(ap2):
         a1 = _read_tsv_ints(ap1, 2)
         a2 = _read_tsv_ints(ap2, 2)
-        a1[:, 0] = [remap1[int(v)] for v in a1[:, 0]]
-        a2[:, 0] = [remap2[int(v)] for v in a2[:, 0]]
+        a1[:, 0] = _remap_col(a1[:, 0], remap1, "att_triples_1")
+        a2[:, 0] = _remap_col(a2[:, 0], remap2, "att_triples_2")
         n_attr = int(max(a1[:, 1].max(initial=0), a2[:, 1].max(initial=0))) + 1
         attr1, attr2 = a1.astype(np.int32), a2.astype(np.int32)
     elif os.path.exists(tp1) and os.path.exists(tp2):
@@ -164,7 +176,14 @@ def load_dbp15k(root: str, pair: str = "zh_en", train_ratio: float = 0.3, seed: 
     kg2 = KG(n_ent=n2, n_rel=len(r2_uniq), triples=tri2, attr_triples=attr2, n_attr=n_attr)
 
     if sup is not None:
-        train_pairs, test_pairs = sup, pairs
+        # On-disk split takes precedence (train_ratio/seed unused).  Some
+        # releases ship sup_ent_ids as a SUBSET of ref_ent_ids rather than
+        # disjoint extra alignments — keeping the full ref as the test set
+        # would then leak every training pair into eval and inflate Hits@k
+        # (round-4b data review); evaluate on ref \ sup.
+        sup_keys = set(map(tuple, sup.tolist()))
+        keep = np.asarray([tuple(r) not in sup_keys for r in pairs.tolist()])
+        train_pairs, test_pairs = sup, pairs[keep]
     else:
         rng = np.random.default_rng(seed)
         order = rng.permutation(len(pairs))

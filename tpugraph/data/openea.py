@@ -33,7 +33,7 @@ def _read_uri_triples(path: str) -> list[tuple[str, str, str]]:
     out = []
     with open(path) as f:
         for line in f:
-            parts = line.rstrip("\n").split("\t")
+            parts = line.rstrip("\r\n").split("\t")
             if len(parts) >= 3 and parts[0]:
                 out.append((parts[0], parts[1], parts[2]))
     return out
@@ -43,7 +43,7 @@ def _read_uri_pairs(path: str) -> list[tuple[str, str]]:
     out = []
     with open(path) as f:
         for line in f:
-            parts = line.rstrip("\n").split("\t")
+            parts = line.rstrip("\r\n").split("\t")
             if len(parts) >= 2 and parts[0]:
                 out.append((parts[0], parts[1]))
     return out

@@ -336,7 +336,7 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
         return out
 
     params = place_params(params)
-    if cfg.spmm_impl == "ell":
+    if cfg.spmm_impl in ("ell", "pallas"):
         from tpugraph.sparse.halo_ell import build_halo_ell
 
         halo = build_halo_ell(hg)
@@ -359,7 +359,7 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
 
     use_dropout = cfg.dropout > 0
     encode = make_encoder(mesh, halo, cfg.highway,
-                          impl="ell" if cfg.spmm_impl == "ell" else "sorted",
+                          impl="ell" if cfg.spmm_impl in ("ell", "pallas") else "sorted",
                           attr_channel=use_ae, compute_dtype=cfg.param_dtype,
                           dropout=use_dropout, l2_normalize=cfg.l2_normalize)
     from tpugraph.train.optim import make_tx

@@ -63,7 +63,17 @@ class AttrChannelGCN(nn.Module):
 
 def combine_channels(se: jnp.ndarray, ae: jnp.ndarray, beta: float = 0.9) -> jnp.ndarray:
     """Weighted concat whose L1 distance equals β·d_SE + (1−β)·d_AE on
-    row-normalized channels."""
+    row-normalized channels.
+
+    Metric caveat (round-4b review): the equality is L1-specific.  Consumers
+    that score the combined embedding with SQUARED euclidean (sqeuclidean
+    mining/shortlists, the MXU prefilters) effectively weight the channels
+    β² : (1−β)² — at β=0.9 that is 0.81 : 0.01, i.e. the AE channel is
+    nearly ignored DURING SELECTION (exact-L1 reranks restore the L1
+    weighting for what is kept).  If sq-metric mining over the combined
+    space ever becomes a tuned path, pass sqrt-weighted channels there;
+    the family's reported metric (and the eval convention) is L1, so the
+    shipped form matches the GCN-Align semantics it documents."""
     se_n = se / (jnp.linalg.norm(se, axis=-1, keepdims=True) + 1e-8)
     ae_n = ae / (jnp.linalg.norm(ae, axis=-1, keepdims=True) + 1e-8)
     return jnp.concatenate([beta * se_n, (1.0 - beta) * ae_n], axis=-1)

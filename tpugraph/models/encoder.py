@@ -48,12 +48,13 @@ class AlignGCN(nn.Module):
 
     def layer_activations(self, op: SpMMOperator, train: bool = False) -> list[jnp.ndarray]:
         """[input embeddings, layer-1 act, layer-2 act] — parity harness hook."""
-        import jax.numpy as jnp_
-
-        x = self.emb.astype(jnp_.dtype(self.compute_dtype))
+        x = self.emb.astype(jnp.dtype(self.compute_dtype))
         acts = [x]
         h = nn.relu(self.gc1(x, op))
-        if self.highway and h.shape == x.shape:
+        if self.highway:
+            # setup already enforces hidden == dim when highway is on, so
+            # both gates apply unconditionally (a shape guard here misled
+            # readers into thinking hw1/hw2 had different applicability)
             h = self.hw1(x, h)
         acts.append(h)
         h_in = h

@@ -5,9 +5,12 @@ entity embeddings, joined with the alignment losses by config weights.
 * RelationHead — DistMult triple scoring s(h,r,t) = Σ e_h ⊙ w_r ⊙ e_t with
   self-adversarial-free margin-less BCE against corrupted tails/heads
   (the relation-type signal of the family's relation channel).
-* AttributeHead — multi-label attribute prediction: a linear projection of
-  the entity embedding to attribute-vocabulary logits, sigmoid BCE against
-  the entity's attribute bag (GCN-Align AE-channel analog).
+* AttributeHead — attribute prediction: a linear projection of the entity
+  embedding to attribute-vocabulary logits, softmax cross-entropy per
+  sampled (entity, attribute) triple (the class docstring's semantics —
+  this module docstring previously said sigmoid-BCE-over-the-bag, which is
+  NOT what ships; the per-triple CE form keeps static shapes at any scale
+  and is what the torch parity oracle mirrors, tests/test_mtl.py).
 """
 
 from __future__ import annotations

@@ -68,7 +68,12 @@ def load_task(cfg: TrainConfig) -> AlignTask:
     if cfg.dataset == "openea":
         from tpugraph.data.openea import load_openea
 
-        return load_openea(cfg.data_root, train_ratio=cfg.train_ratio, seed=cfg.seed)
+        # openea_fold selects the official 721_5fold split (0 = seeded
+        # train_ratio split); previously fold 1 was hardwired and
+        # train_ratio/seed silently ignored whenever folds existed on disk
+        return load_openea(cfg.data_root, train_ratio=cfg.train_ratio,
+                           seed=cfg.seed,
+                           fold=cfg.openea_fold if cfg.openea_fold > 0 else None)
     raise ValueError(f"unknown dataset {cfg.dataset!r}")
 
 
@@ -104,7 +109,7 @@ def fit(
         weighting=cfg.weighting,
         norm=cfg.norm,
         bucket=cfg.pad_bucket,
-        fmt="ell" if cfg.spmm_impl == "ell" else "sorted",
+        fmt="ell" if cfg.spmm_impl in ("ell", "pallas") else "sorted",
     )
     model = build_model(cfg, task)
     base_key = jax.random.PRNGKey(cfg.seed)

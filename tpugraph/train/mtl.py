@@ -43,7 +43,7 @@ def fit_mtl(cfg: TrainConfig, task: AlignTask | None = None, verbose: bool = Fal
     op = build_adjacency(
         task.n_ent, task.merged_triples, n_rel=task.n_rel,
         weighting=cfg.weighting, norm=cfg.norm, bucket=cfg.pad_bucket,
-        fmt="ell" if cfg.spmm_impl == "ell" else "sorted",
+        fmt="ell" if cfg.spmm_impl in ("ell", "pallas") else "sorted",
     )
     attr_all = task.merged_attr_triples
     if (cfg.use_attr_head or cfg.use_attr_channel) and (attr_all is None or task.n_attr == 0):
@@ -69,7 +69,7 @@ def fit_mtl(cfg: TrainConfig, task: AlignTask | None = None, verbose: bool = Fal
 
         attr_op = build_attr_operator(
             attr_all, task.n_ent, task.n_attr,
-            fmt="ell" if cfg.spmm_impl == "ell" else "sorted", bucket=cfg.pad_bucket,
+            fmt="ell" if cfg.spmm_impl in ("ell", "pallas") else "sorted", bucket=cfg.pad_bucket,
         )
     model = AlignMTL(n_ent=task.n_ent, n_rel=task.n_rel, n_attr=max(task.n_attr, 1), cfg=cfg)
 
