@@ -164,6 +164,14 @@ def test_approx_mining_small_pool_no_crash():
                                        approx=False)
     assert nl_a.shape == nl_e.shape == (5, 10)
     assert bool(jnp.all((nr_a >= 12) & (nr_a < 20)))
+    # ADVICE r4 item 2: the small-pool pad/fill must never re-admit the
+    # query's excluded positive partner (the old constant-0 pad did whenever
+    # the partner's candidate id was 0; the exact path's (inf, 0) init had
+    # the same hole) — every padded column is a duplicate valid negative
+    jp = jnp.asarray(pairs)
+    for nl, nr in ((nl_a, nr_a), (nl_e, nr_e)):
+        assert not bool(jnp.any(nr == jp[:, 1:2]))
+        assert not bool(jnp.any(nl == jp[:, 0:1]))
     # prefilter branch (cityblock) and sq branch both covered
     nl_s, _ = sample_hard_negatives(emb, jnp.asarray(pairs), 12, 20, k=10,
                                     approx=True, metric="sqeuclidean")

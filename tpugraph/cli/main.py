@@ -80,6 +80,11 @@ def main(argv=None):
                          "(steps_per_call=neg_every) + approx MXU hard mining "
                          "— amortizes the remote-TPU per-dispatch latency; "
                          "semantically equal to the unfused path (tests pin it)")
+    ap.add_argument("--eval-only", action="store_true",
+                    help="no training: restore the latest checkpoint from "
+                         "checkpoint_dir (--set checkpoint_dir=...) and run "
+                         "the exact final eval (+ --save-emb export) — the "
+                         "reference family's get_hits on a loaded model")
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("--debug-nans", action="store_true",
                     help="dev flag: raise on the first NaN anywhere (jax_debug_nans)")
@@ -132,9 +137,9 @@ def main(argv=None):
 
         jax.config.update("jax_compilation_cache_dir", cache)
 
-    from tpugraph.train.driver import run  # deferred: jax import is slow
+    from tpugraph.train.driver import evaluate, run  # deferred: jax import is slow
 
-    result = run(cfg, verbose=not args.quiet)
+    result = (evaluate if args.eval_only else run)(cfg, verbose=not args.quiet)
     print(json.dumps({"config": cfg.name, **{k: round(v, 4) for k, v in result.metrics.items()}}))
     return 0
 

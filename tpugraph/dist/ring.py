@@ -147,7 +147,7 @@ def _ring_hubness_approx_body(cand, qblk, qval, csls_k, axis: str):
     return r_sq, r_l1
 
 
-@lru_cache(maxsize=64)
+@lru_cache(maxsize=4)
 def _ring_eval_fn(mesh, axis: str, csls_k: int, approx_k: int,
                   ks: tuple, n: int):
     """One jitted (ranks + metrics) callable per eval configuration.
@@ -156,7 +156,12 @@ def _ring_eval_fn(mesh, axis: str, csls_k: int, approx_k: int,
     shard_map/jit closures on EVERY call, so fit_distributed's periodic
     evals re-traced and re-compiled the full s-hop ring loop each interval
     (seconds per eval) instead of hitting the jit cache — exactly the
-    dispatch-cost class the single-chip eval fixed in round 2.  Fusing the
+    dispatch-cost class the single-chip eval fixed in round 2.  maxsize=4:
+    one training run only ever uses two entries (history approx + final
+    exact), and each entry pins a compiled shard_map executable plus its
+    mesh for the cache's lifetime — a large cache retained device memory
+    across test-suite mesh sweeps with zero hit-rate benefit (ADVICE r4
+    item 4).  Fusing the
     rank pass and the metric reduction into ONE jit also keeps the sharded
     rank vector on device (it spans non-addressable devices under
     multi-process jax.distributed — a host fetch of it would fail, caught

@@ -74,6 +74,14 @@ class Checkpointer:
 
             self._mgr.save(epoch, args=ocp.args.StandardSave(state))
 
+    def latest_step(self) -> int | None:
+        """Step of the newest checkpoint on disk, or None (also None when
+        disabled).  Lets eval-only callers (train/driver.evaluate) verify a
+        checkpoint exists BEFORE building the trainer state."""
+        if not self.enabled:
+            return None
+        return self._mgr.latest_step()
+
     def latest_has_key(self, key: str) -> bool | None:
         """Whether the newest checkpoint's top-level tree contains ``key``
         (from Orbax metadata, no array reads); None if no checkpoint or the
@@ -85,9 +93,24 @@ class Checkpointer:
         if step is None:
             return None
         try:
-            return key in self._mgr.item_metadata(step)
+            md = self._mgr.item_metadata(step)
         except Exception:
-            return None
+            return None  # metadata genuinely unreadable: caller re-raises its own error
+        # Explicit keys() membership, normalized across Orbax versions: on
+        # wrapper-object versions a blind `key in md` silently tests the
+        # wrong container and every legacy-format diagnosis degrades back to
+        # the opaque structure error (ADVICE r4 item 3).  Unrecognized
+        # containers raise loudly instead of disabling the detection.
+        if not hasattr(md, "keys") and hasattr(md, "tree"):
+            md = md.tree
+        if not hasattr(md, "keys"):
+            raise TypeError(
+                f"unrecognized Orbax item_metadata container {type(md)!r} — "
+                f"cannot verify the checkpoint's top-level keys; the "
+                f"legacy-checkpoint diagnostics in fit/fit_distributed "
+                f"depend on this (update latest_has_key for this Orbax "
+                f"version)")
+        return key in md.keys()
 
     def restore_latest(self, abstract_state: dict) -> tuple[int, Any] | None:
         """Returns (epoch, state) of the newest checkpoint, or None."""

@@ -24,3 +24,40 @@ def run(cfg: TrainConfig, verbose: bool = False, task=None) -> TrainResult:
 
         return fit_mtl(cfg, task=task, verbose=verbose)
     return fit(cfg, task=task, verbose=verbose)
+
+
+def evaluate(cfg: TrainConfig, verbose: bool = False, task=None) -> TrainResult:
+    """Eval-only entry (the reference family's ``get_hits`` on a loaded
+    model — SURVEY.md §2.1 Hits@k row): restore the latest checkpoint from
+    ``cfg.checkpoint_dir`` and run the exact final eval (+ the optional
+    serve export via ``save_emb_path``) without a single training step.
+    Works on all three trainers — single-device, MTL, and distributed (the
+    n_shards > 1 path restores across mesh shapes like any resume).
+
+    Implemented as the trainers' zero-epoch path: with ``epochs=0`` the
+    training loop body never runs, so the restored params flow straight to
+    the exact final eval under the run's own convention (``eval_csls_k``);
+    ``metrics`` reproduces the training run's final metrics bit-for-bit
+    (tests/test_eval_only.py).  Refuses to score a fresh random init: a
+    missing/empty checkpoint_dir raises instead of silently reporting
+    garbage metrics."""
+    if not cfg.checkpoint_dir:
+        raise ValueError(
+            "evaluate() needs cfg.checkpoint_dir pointing at a trained "
+            "checkpoint (set checkpoint_dir/checkpoint_every on the training "
+            "run); without one there is nothing to evaluate")
+    from tpugraph.train.checkpoint import Checkpointer
+
+    # checkpoint_every may be 0 in a hand-built eval config; the restore
+    # path only needs the Checkpointer enabled, so floor it at 1
+    eff_every = max(cfg.checkpoint_every, 1)
+    probe = Checkpointer(cfg.checkpoint_dir, eff_every)
+    found = probe.latest_step()
+    probe.close()
+    if found is None:
+        raise ValueError(
+            f"no checkpoint found under {cfg.checkpoint_dir!r} — evaluate() "
+            f"refuses to report metrics from a fresh random init; train "
+            f"first or fix the path")
+    return run(cfg.replace(epochs=0, checkpoint_every=eff_every),
+               verbose=verbose, task=task)

@@ -48,10 +48,12 @@ def fit_mtl(cfg: TrainConfig, task: AlignTask | None = None, verbose: bool = Fal
     attr_all = task.merged_attr_triples
     if (cfg.use_attr_head or cfg.use_attr_channel) and (attr_all is None or task.n_attr == 0):
         raise ValueError("attribute head/channel enabled but the task has no attribute triples")
-    if cfg.use_sinkhorn:
+    if cfg.use_sinkhorn and cfg.epochs > 0:
         # effective OT problem size: the cap only bites when it is set AND
         # smaller than the seed count (review r3: a 10k cap on 15k seeds
-        # bypassed the original ==0 check and still died in remote compile)
+        # bypassed the original ==0 check and still died in remote compile).
+        # epochs == 0 (eval-only, train/driver.evaluate) never compiles the
+        # OT loss, so the guard would reject a legitimate big-seed eval.
         n_seed = len(task.train_pairs)
         ot_eff = min(cfg.sinkhorn_pairs, n_seed) if cfg.sinkhorn_pairs > 0 else n_seed
         if ot_eff > 8192:

@@ -112,6 +112,13 @@ def blockwise_knn_l1(
         return _topk_merge(rv, ri, dmat, cidx, k), None
 
     (vals, idx), _ = jax.lax.scan(body, (init_vals, init_idx), (blocks, offsets))
+    # tiny-pool fill: columns never filled from a real candidate keep their
+    # (inf, 0) init, and the inf-masked partner itself survives the merge
+    # when the pool is exhausted — both could hand the loss the query's own
+    # positive partner as a "negative" (same class as the approx-path pad,
+    # ADVICE r4 item 2).  Replace with the row's best valid column.
+    bad = jnp.isinf(vals) | (idx == exclude[:, None])
+    idx = jnp.where(bad, idx[:, :1], idx)
     return idx
 
 
@@ -265,8 +272,19 @@ def _knn_query_blocked_approx(q, cands, exclude, k, metric, block_q: int = 4096,
 
     _, idx = jax.lax.scan(body, None, (qb, eb))
     idx = idx.reshape(q_pad, k_eff)[:s]
-    if k_eff < k:  # tiny-pool pad: candidate 0, like the exact path's fill
-        idx = jnp.pad(idx, ((0, 0), (0, k - k_eff)))
+    if k_eff < k:
+        # tiny-pool pad: TILE the row's best-scoring column rather than
+        # constant candidate 0 — the exclusion mask ran before selection, so
+        # a 0-fill could re-admit the query's own positive partner whenever
+        # its id is 0 (ADVICE r4 item 2).  Trailing columns are duplicates
+        # of a valid negative, which the margin loss merely double-counts.
+        idx = jnp.concatenate([idx, jnp.tile(idx[:, :1], (1, k - k_eff))], axis=1)
+    if k >= c:
+        # pool exhausted (k_eff == c): the selection had to take every
+        # candidate, INCLUDING the inf-masked partner — re-apply the
+        # exclusion (column 0 is the best-scoring valid candidate; the
+        # partner sorts last, so it is never column 0 unless c == 1)
+        idx = jnp.where(idx == exclude[:, None], idx[:, :1], idx)
     return idx
 
 
