@@ -103,3 +103,33 @@ def test_two_process_fit_production_surface():
         loss, hits = map(float, m.groups())
         assert loss == pytest.approx(ref.metrics["final_loss"], rel=1e-3)
         assert hits == pytest.approx(ref.metrics["hits@1"], abs=0.02)
+
+
+def test_two_process_fit_blind_spot_surfaces():
+    """VERDICT r4 weak #4 / Next #4: the cross-process surfaces the
+    rehearsals had NOT covered — (A) the AE attribute channel (the
+    ``_pcast_varying`` + custom-VJP psum cotangent path) + attr head +
+    dropout (global-mask P('graph') sharding) with the graph axis spanning
+    both processes, and (B) the 3-D slice×graph×feature (2×2×2) mesh with
+    the slice/DCN axis exactly on the process boundary — each must
+    reproduce the single-process 8-device run."""
+    import re
+
+    from tpugraph.dist.mp_worker import fit_prod2_configs, fit_rehearsal_task
+    from tpugraph.dist.trainer import fit_distributed
+
+    leg_a, leg_b = fit_prod2_configs(8)
+    task = fit_rehearsal_task()
+    ref_a = fit_distributed(leg_a, task=task)
+    ref_b = fit_distributed(leg_b, task=task)
+
+    outs = _spawn_workers(["fitprod2"], timeout=420)
+    for out in outs:
+        m = re.search(r"MP_PROD2_OK proc=\d+ lossA=([-\d.]+) hitsA=([-\d.]+) "
+                      r"lossB=([-\d.]+) hitsB=([-\d.]+)", out)
+        assert m, f"no MP_PROD2_OK line:\n{out[-2000:]}"
+        la, ha, lb, hb = map(float, m.groups())
+        assert la == pytest.approx(ref_a.metrics["final_loss"], rel=1e-3)
+        assert ha == pytest.approx(ref_a.metrics["hits@1"], abs=0.02)
+        assert lb == pytest.approx(ref_b.metrics["final_loss"], rel=1e-3)
+        assert hb == pytest.approx(ref_b.metrics["hits@1"], abs=0.02)

@@ -19,6 +19,14 @@ XLA collectives (SURVEY.md §5.8).  Modes:
   Sinkhorn OT loss with the seed subsample, CSLS ring eval, and feature
   tensor-parallelism (``all_gather`` over 'feature') — all spanning the
   2-process boundary on a (graph=4, feature=2) mesh.
+* ``fitprod2`` — the remaining cross-process blind spots (VERDICT r4 weak
+  #4 / Next #4), two legs: (A) the GCN-Align AE attribute channel (whose
+  ``_pcast_varying`` + custom-VJP psum cotangent path had never crossed a
+  real process boundary) together with dropout (the global-mask
+  ``P('graph')`` sharding) on a (graph=4, feature=2) mesh whose graph axis
+  spans both processes; (B) the 3-D ('slice','graph','feature') = 2×2×2
+  mesh, where the slice (DCN) axis lands exactly on the process boundary —
+  its only collective is the per-step gradient all-reduce.
 
 Usage (spawned by tests/test_multiprocess.py):
     python -m tpugraph.dist.mp_worker <coordinator> <num_procs> <proc_id> \
@@ -52,6 +60,10 @@ def main():
         return
     if mode == "fitprod":
         _fit_prod_mode(proc_id, num_procs)
+        jax.distributed.shutdown()
+        return
+    if mode == "fitprod2":
+        _fit_prod2_mode(proc_id, num_procs)
         jax.distributed.shutdown()
         return
 
@@ -146,6 +158,39 @@ def fit_prod_rehearsal_config(n_devices: int):
         sinkhorn_iters=4, sinkhorn_pairs=16, eval_csls_k=5,
         syn_n_ent=128, syn_n_triples=500,
     )
+
+
+def fit_prod2_configs(n_devices: int):
+    """The two round-5 blind-spot legs (shared with the test's
+    single-process reference; see module docstring ``fitprod2``).  Leg A:
+    AE attribute channel + attr head + dropout, graph axis spanning the
+    process boundary.  Leg B: the 3-D slice×graph×feature mesh with the
+    slice (DCN) axis on the process boundary."""
+    from tpugraph.configs import get_config
+
+    common = dict(dim=16, epochs=4, eval_every=2, k_neg=4, neg_every=2,
+                  neg_mode="uniform", syn_n_ent=128, dropout=0.3,
+                  use_attr_channel=True, attr_channel_weight=0.5,
+                  attr_beta=0.8, use_attr_head=True)
+    leg_a = get_config("base", n_shards=n_devices // 2, feature_shards=2,
+                       **common)
+    leg_b = get_config("base", slice_shards=2, n_shards=n_devices // 4,
+                       feature_shards=2, **common)
+    return leg_a, leg_b
+
+
+def _fit_prod2_mode(proc_id: int, num_procs: int):
+    """fit_distributed on the AE-channel + dropout + 3-D-mesh surfaces
+    across the process boundary; prints both legs' final loss + hits@1."""
+    from tpugraph.dist.trainer import fit_distributed
+
+    leg_a, leg_b = fit_prod2_configs(4 * num_procs)
+    task = fit_rehearsal_task()
+    ra = fit_distributed(leg_a, task=task)
+    rb = fit_distributed(leg_b, task=task)
+    print(f"MP_PROD2_OK proc={proc_id} "
+          f"lossA={ra.metrics['final_loss']:.6f} hitsA={ra.metrics['hits@1']:.4f} "
+          f"lossB={rb.metrics['final_loss']:.6f} hitsB={rb.metrics['hits@1']:.4f}")
 
 
 def _fit_prod_mode(proc_id: int, num_procs: int):

@@ -268,12 +268,25 @@ def fit_distributed(cfg: TrainConfig, task: AlignTask | None = None,
         """Shard loss-side batches along the DCN 'slice' axis (3-D mesh):
         each slice scores a contiguous stripe of the pairs/negatives, and the
         per-step gradient all-reduce is the only cross-slice traffic.  Values
-        are bit-identical to the unsliced run (means are global)."""
+        are bit-identical to the unsliced run (means are global).
+
+        Leaves whose leading dim is NOT divisible by slice_shards (e.g. an
+        odd seed-pair count on a 2-slice mesh) stay replicated: GSPMD's
+        with_sharding_constraint hard-rejects uneven splits, so before
+        round 5 such a run CRASHED in batch construction (caught by the
+        fitprod2 cross-process rehearsal, whose 19-seed task is exactly
+        this shape).  Replication only lowers that leaf's parallelism
+        degree — the loss value is unchanged either way."""
         if cfg.slice_shards <= 1:
             return tree
         spec = NamedSharding(mesh, P("slice"))
-        return jax.tree_util.tree_map(
-            lambda v: jax.lax.with_sharding_constraint(v, spec), tree)
+
+        def _constrain(v):
+            if getattr(v, "ndim", 0) >= 1 and v.shape[0] % cfg.slice_shards == 0:
+                return jax.lax.with_sharding_constraint(v, spec)
+            return v
+
+        return jax.tree_util.tree_map(_constrain, tree)
 
     src, dst, w = coo_from_triples(task.n_ent, task.merged_triples, n_rel=task.n_rel,
                                    weighting=cfg.weighting)
