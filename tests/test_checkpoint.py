@@ -35,6 +35,27 @@ def test_resume_reproduces_uninterrupted_run(tmp_path):
     assert full.metrics["hits@1"] == resumed.metrics["hits@1"]
 
 
+def test_latest_has_key_from_fresh_manager(tmp_path):
+    """latest_has_key must answer from a FRESH manager probed BEFORE any
+    restore attempt (train/driver.evaluate's checkpoint-format probe): on
+    orbax 0.11 item_metadata serves a cache populated only by a save or a
+    restore attempt, so the pre-round-5 code silently answered None here
+    (ADVICE r4 item 3's failure mode); the on-disk metadata read answers
+    regardless of cache state."""
+    import jax.numpy as jnp
+
+    from tpugraph.train.checkpoint import Checkpointer
+
+    d = str(tmp_path / "ck")
+    ck = Checkpointer(d, 1)
+    ck.maybe_save(1, {"params": jnp.zeros(3), "loss": jnp.float32(0)}, force=True)
+    ck.close()
+    fresh = Checkpointer(d, 1)  # new manager instance, no in-memory cache
+    assert fresh.latest_has_key("loss") is True
+    assert fresh.latest_has_key("layout") is False
+    fresh.close()
+
+
 def test_restore_latest_absent_is_none(tmp_path):
     from tpugraph.train.checkpoint import Checkpointer
 

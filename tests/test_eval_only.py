@@ -71,6 +71,27 @@ def test_evaluate_distributed_and_cross_mesh(tmp_path):
         assert ev8.metrics[k] == pytest.approx(trained.metrics[k], abs=1e-6), k
 
 
+def test_evaluate_adopts_fused_checkpoint_format(tmp_path):
+    """A distributed checkpoint saved under steps_per_call > 1 (--fast)
+    carries no interval-batch state; evaluate() auto-adopts the on-disk
+    format so the restore template matches without re-passing --fast —
+    and the reverse direction (fused eval cfg on an unfused checkpoint)."""
+    from tpugraph.dist.trainer import fit_distributed
+
+    task = _task()
+    kw = _base_kw(str(tmp_path / "ck"))
+    kw["neg_every"] = 3
+    cfg = get_config("base", n_shards=4, steps_per_call=3, **kw)
+    trained = fit_distributed(cfg, task=task)
+    ev = evaluate(cfg.replace(steps_per_call=1), task=task)  # no --fast
+    for k in ("hits@1", "hits@10", "mrr", "final_loss"):
+        assert ev.metrics[k] == trained.metrics[k], k
+    cfg_u = get_config("base", n_shards=4, **_base_kw(str(tmp_path / "ck_u")))
+    trained_u = fit_distributed(cfg_u, task=task)
+    ev_u = evaluate(cfg_u.replace(steps_per_call=3), task=task)
+    assert ev_u.metrics["hits@1"] == trained_u.metrics["hits@1"]
+
+
 def test_evaluate_refuses_without_checkpoint(tmp_path):
     cfg = get_config("base", **_base_kw(None))
     with pytest.raises(ValueError, match="checkpoint_dir"):

@@ -37,6 +37,7 @@ class Checkpointer:
     def __init__(self, directory: str | None, every: int = 0):
         self.enabled = bool(directory) and every > 0
         self.every = every
+        self._dir = os.path.abspath(directory) if directory else None
         self._mgr = _manager(directory) if self.enabled else None
         self.preempted = False
         self._prev_handler = None
@@ -95,11 +96,28 @@ class Checkpointer:
         try:
             md = self._mgr.item_metadata(step)
         except Exception:
-            return None  # metadata genuinely unreadable: caller re-raises its own error
-        # Explicit keys() membership, normalized across Orbax versions: on
-        # wrapper-object versions a blind `key in md` silently tests the
-        # wrong container and every legacy-format diagnosis degrades back to
-        # the opaque structure error (ADVICE r4 item 3).  Unrecognized
+            md = None
+        if md is None:
+            # On orbax 0.11 a manager serves item_metadata from an
+            # in-memory cache populated by its own save OR by a (possibly
+            # failed) restore attempt; a fresh manager probed BEFORE any
+            # restore — train/driver.evaluate's checkpoint-format probe —
+            # gets None, and the round-4b `key in md` then raised a
+            # TypeError that the blanket except silently turned into
+            # "can't tell" (the ADVICE r4 item 3 failure mode, caught in
+            # round 5 when the swallow was made loud).  Read the item's
+            # on-disk metadata directly instead — correct regardless of
+            # cache state or which process wrote the checkpoint.
+            import orbax.checkpoint as ocp
+
+            try:
+                step_md = ocp.StandardCheckpointer().metadata(
+                    os.path.join(self._dir, str(step), "default"))
+                md = step_md.item_metadata
+            except Exception:
+                return None  # genuinely unreadable: caller re-raises its own error
+        # Explicit keys() membership, normalized across Orbax containers
+        # (TreeMetadata wrappers carry the dict under .tree).  Unrecognized
         # containers raise loudly instead of disabling the detection.
         if not hasattr(md, "keys") and hasattr(md, "tree"):
             md = md.tree

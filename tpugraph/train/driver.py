@@ -53,11 +53,25 @@ def evaluate(cfg: TrainConfig, verbose: bool = False, task=None) -> TrainResult:
     eff_every = max(cfg.checkpoint_every, 1)
     probe = Checkpointer(cfg.checkpoint_dir, eff_every)
     found = probe.latest_step()
+    steps = cfg.steps_per_call
+    if found is not None and (cfg.n_shards > 1 or cfg.feature_shards > 1
+                              or cfg.slice_shards > 1):
+        # distributed checkpoints carry interval-batch state ONLY when saved
+        # under steps_per_call == 1, and the restore template must match —
+        # auto-adopt the checkpoint's format so a --fast-trained run
+        # evaluates without re-passing --fast (and vice versa); for eval
+        # only the template matters, no interval ever runs
+        has_batch = probe.latest_has_key("batch_pairs")
+        if has_batch is False and steps <= 1:
+            steps = max(cfg.neg_every, 1)
+        elif has_batch is True and steps > 1:
+            steps = 1
     probe.close()
     if found is None:
         raise ValueError(
             f"no checkpoint found under {cfg.checkpoint_dir!r} — evaluate() "
             f"refuses to report metrics from a fresh random init; train "
             f"first or fix the path")
-    return run(cfg.replace(epochs=0, checkpoint_every=eff_every),
+    return run(cfg.replace(epochs=0, checkpoint_every=eff_every,
+                           steps_per_call=steps, profile_dir=None),
                verbose=verbose, task=task)
