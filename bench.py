@@ -24,6 +24,14 @@ Graph: synthetic DBP15K-zh-en-scale merged KG pair (~164k entities, ~390k
 relation triples → ~0.95M directed message edges + self-loops), d=128.
 Iterations are chained (x_{i+1} = Aᵀ(A x_i)) inside one jitted lax.scan so
 the tunnel/dispatch latency of this environment is amortized away.
+
+Noise control (round 5): every timed chain runs REPEATS=3 times and the
+best wall is reported.  The round-5 interleaved A/B (scripts/bench_ab.py,
+DESIGN §3) measured day-to-day chip/tunnel session variance at ~5% and
+within-session single-run spread at ~1.7% — larger than any real
+cross-round code delta; best-of-3 cuts the scheduler/host tail so
+BENCH_r*.json comparisons track the kernel, not the session.  Both legs of
+every ratio get the same treatment.
 """
 
 from __future__ import annotations
@@ -36,6 +44,18 @@ import numpy as np
 DIM = 128
 JAX_ITERS = 16
 TORCH_ITERS = 4
+REPEATS = 3  # best-of-N timed chains (see "Noise control" above)
+
+
+def best_wall(chain, x, n: int = REPEATS) -> float:
+    """Run the already-warm chained loop ``chain(x)`` n times, return the
+    best wall — the run least perturbed by host/scheduler noise."""
+    walls = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        chain(x).block_until_ready()
+        walls.append(time.perf_counter() - t0)
+    return min(walls)
 
 
 def build_graph():
@@ -80,14 +100,14 @@ def bench_jax(task) -> tuple[float, int]:
         (dx,) = vjp(y)
         return dx
 
+    def chain(x):
+        xc = x
+        for _ in range(JAX_ITERS):
+            xc = step(xc)
+        return xc
+
     step(x).block_until_ready()  # compile + warm
-    t0 = time.perf_counter()
-    xc = x
-    for _ in range(JAX_ITERS):
-        xc = step(xc)
-    xc.block_until_ready()
-    wall = time.perf_counter() - t0
-    ell_eps = op.nnz * JAX_ITERS / wall
+    ell_eps = op.nnz * JAX_ITERS / best_wall(chain, x)
 
     # pure-gather roofline on the IDENTICAL index pattern (fwd + bwd bucket
     # indices; the gather-free diagonal part is excluded from both sides):
@@ -108,16 +128,16 @@ def bench_jax(task) -> tuple[float, int]:
         head = jax.lax.dynamic_slice_in_dim(g, 0, n_rows, 0)
         return head + jnp.mean(g.astype(jnp.float32), axis=0).astype(x.dtype)
 
+    def gchain(x):
+        xc = x
+        for _ in range(JAX_ITERS):
+            xc = gstep(xc)
+        return xc
+
     gstep(x).block_until_ready()
-    t0 = time.perf_counter()
-    xc = x
-    for _ in range(JAX_ITERS):
-        xc = gstep(xc)
-    xc.block_until_ready()
-    g_wall = time.perf_counter() - t0
     # same edge-op formula: the SpMM does one fwd+bwd pass (= nnz edge-ops)
     # per `wall/ITERS`; the gather ceiling allows one per `g_wall/ITERS`
-    roofline_eps = op.nnz * JAX_ITERS / g_wall
+    roofline_eps = op.nnz * JAX_ITERS / best_wall(gchain, x)
 
     # same-chip alternative-impl ratio (VERDICT r2 weak #6: the decision-
     # relevant ratio must ride along wherever the torch-CPU one is quoted):
@@ -135,13 +155,15 @@ def bench_jax(task) -> tuple[float, int]:
         return dx
 
     iters_s = max(JAX_ITERS // 4, 1)
+
+    def schain(x):
+        xc = x
+        for _ in range(iters_s):
+            xc = step_s(xc)
+        return xc
+
     step_s(x).block_until_ready()
-    t0 = time.perf_counter()
-    xc = x
-    for _ in range(iters_s):
-        xc = step_s(xc)
-    xc.block_until_ready()
-    xla_eps = op_s.nnz * iters_s / (time.perf_counter() - t0)
+    xla_eps = op_s.nnz * iters_s / best_wall(schain, x)
     return ell_eps, op.nnz, ell_eps / xla_eps, ell_eps / roofline_eps
 
 
@@ -158,15 +180,17 @@ def bench_torch(task) -> float:
     x = torch.randn(task.n_ent, DIM)
     # warm
     y = torch.spmm(adj, x)
-    t0 = time.perf_counter()
-    xc = x
-    for _ in range(TORCH_ITERS):
-        xc = xc.detach().requires_grad_(True)
-        y = torch.spmm(adj, xc)
-        y.backward(gradient=y.detach())
-        xc = xc.grad
-    wall = time.perf_counter() - t0
-    return nnz * TORCH_ITERS / wall
+    walls = []
+    for _ in range(REPEATS):  # best-of-N, same treatment as the jax side
+        t0 = time.perf_counter()
+        xc = x
+        for _ in range(TORCH_ITERS):
+            xc = xc.detach().requires_grad_(True)
+            y = torch.spmm(adj, xc)
+            y.backward(gradient=y.detach())
+            xc = xc.grad
+        walls.append(time.perf_counter() - t0)
+    return nnz * TORCH_ITERS / min(walls)
 
 
 def main():
