@@ -580,6 +580,29 @@ def test_fit_distributed_csls_eval_matches_single_device(approx_k):
                for k in ("mrr", "hits@1", "hits@10"))
 
 
+def test_fit_distributed_slice_dp_uneven_batch():
+    """Uneven slice-DP (round 5, caught by the fitprod2 rehearsal): a
+    seed-pair count NOT divisible by slice_shards previously crashed in
+    batch construction (with_sharding_constraint rejects uneven splits);
+    non-divisible leaves now stay replicated, and the sliced run must
+    still reproduce the unsliced one exactly."""
+    from tpugraph.configs import get_config
+    from tpugraph.data.synthetic import synthetic_align_task
+    from tpugraph.dist.trainer import fit_distributed
+
+    # 128 entities -> 19 train pairs on this seed: 19 % 2 != 0
+    task = synthetic_align_task(seed=23, n_ent=128, n_rel=6, n_triples=500)
+    assert len(task.train_pairs) % 2 == 1
+    kw = dict(dim=16, epochs=4, eval_every=4, k_neg=4, neg_every=2,
+              neg_mode="uniform", syn_n_ent=128, n_shards=2,
+              feature_shards=2)
+    r1 = fit_distributed(get_config("base", slice_shards=1, **kw), task=task)
+    r2 = fit_distributed(get_config("base", slice_shards=2, **kw), task=task)
+    assert r1.history[-1]["loss"] == pytest.approx(r2.history[-1]["loss"], rel=1e-4)
+    np.testing.assert_allclose(np.asarray(r1.params["emb"]),
+                               np.asarray(r2.params["emb"]), rtol=1e-4, atol=1e-6)
+
+
 def test_fit_distributed_ot_subsample_slice_cross():
     """Cross-term: sinkhorn_pairs × slice-DP (3-D mesh).  The OT subsample
     feeds the graph-axis ring and is deliberately NOT slice-sharded; the
