@@ -47,3 +47,19 @@ def test_native_empty_and_reflexive():
     tri = np.array([[2, 0, 2]], np.int32)
     s, d, w = native.native_coo_from_triples(5, tri, n_rel=1)
     assert len(s) == 5
+
+
+def test_native_rejects_out_of_range_entity_ids():
+    """Out-of-range entity ids index the native builder's sort key, funifun
+    histograms, and degree accumulators — unchecked they were out-of-bounds
+    WRITES (heap corruption), not wrong answers (round-5 native review).
+    Both overflow and negative ids must raise, under both weightings."""
+    import pytest as _pytest
+
+    tri_hi = np.array([[0, 0, 5], [1, 0, 2]], np.int32)  # t=5 >= n_ent=4
+    tri_neg = np.array([[-1, 0, 2]], np.int32)
+    for bad in (tri_hi, tri_neg):
+        for weighting in ("uniform", "funifun"):
+            with _pytest.raises(ValueError, match="entity id"):
+                native.native_coo_from_triples(4, bad, n_rel=1,
+                                               weighting=weighting)

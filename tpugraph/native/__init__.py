@@ -78,7 +78,11 @@ def native_coo_from_triples(
     nullf = ctypes.cast(None, ctypes.POINTER(ctypes.c_double))
     total = lib.build_adjacency_coo(*args, 0, 0, null64, null64, nullf)
     if total < 0:
-        raise ValueError("native build_adjacency_coo rejected inputs")
+        raise ValueError(
+            "native build_adjacency_coo rejected inputs: an entity id is "
+            "outside [0, n_ent) or a relation id outside [0, n_rel) — "
+            "malformed triples would corrupt the native builder's indexed "
+            "accumulators, so they are rejected up front")
     src = np.empty(total, np.int64)
     dst = np.empty(total, np.int64)
     w = np.empty(total, np.float64)

@@ -53,6 +53,17 @@ int64_t build_adjacency_coo(
     double* out_w) {
   if (n_ent <= 0 || n_triples < 0) return -1;
 
+  // Entity-id bounds: EVERY downstream structure indexes by h/t — the
+  // (dst*n_ent + src) sort key, the funifun per-relation histograms, and
+  // the degree accumulators — so an out-of-range id from a malformed
+  // dataset would be an out-of-bounds WRITE (heap corruption), not a wrong
+  // answer (round-5 native review).  Reject up front; the ctypes wrapper
+  // turns -1 into a ValueError and the numpy path stays available.
+  for (int64_t i = 0; i < n_triples; ++i) {
+    const int32_t h = triples[3 * i], t = triples[3 * i + 2];
+    if (h < 0 || h >= n_ent || t < 0 || t >= n_ent) return -1;
+  }
+
   // relation functionality stats
   std::vector<double> fun, ifun;
   if (weighting == 1) {
